@@ -1,0 +1,156 @@
+"""Multi-chip data parallelism over the ray pool.
+
+TPU-native mapping of the workload's one big axis (SURVEY.md §2.6): pixels/rays
+are sharded across chips on a 1-D mesh via shard_map; the scene + BVH are
+replicated in every chip's HBM (broadcast once at scene upload); tracing does
+ZERO inter-chip communication (a ray's pixel never leaves its shard). The only
+collectives are:
+  - psum of parameter gradients in the differentiable path (ICI all-reduce),
+  - the final image assembly, which is just the natural output sharding
+    (all_gather only when the host fetches the image).
+
+The reference has no distributed anything (single GPU, SURVEY.md §2.6); this
+module is the from-scratch scaling design the north star requires.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.wavefront import render_iteration, zero_accum
+from ..scene.types import RenderSettings, SceneArrays
+from ..utils.vec import Vec3
+
+RAY_AXIS = "rays"
+
+
+def make_ray_mesh(n_devices: Optional[int] = None,
+                  devices=None) -> Mesh:
+    """1-D device mesh over the ray-pool axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def shard_accum(accum: Vec3, mesh: Mesh) -> Vec3:
+    """Place an accumulation image with its pixel axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(RAY_AXIS))
+    return Vec3(*(jax.device_put(c, sh) for c in accum))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (scene/BVH) to every chip — the analogue of
+    pathtraceInit's scene upload (pathtrace.cu:143-233), broadcast once."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def render_chunk_sharded(scene: SceneArrays, settings: RenderSettings,
+                         mesh: Mesh, accum: Vec3,
+                         start_iteration: jnp.ndarray, n_iters: int,
+                         seed: int = 0, early_exit: bool = True) -> Vec3:
+    """`n_iters` progressive iterations with the ray pool sharded over `mesh`.
+
+    Each shard renders its own pixel block with an independent RNG stream;
+    no cross-chip traffic inside the loop.
+    """
+    n_shards = mesh.shape[RAY_AXIS]
+    n_total = settings.pixel_count
+    assert n_total % n_shards == 0, (
+        f"pixel count {n_total} not divisible by {n_shards} shards")
+    n_local = n_total // n_shards
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(RAY_AXIS)),
+             out_specs=P(RAY_AXIS), check_vma=False)
+    def run(scene, accum):
+        shard = jax.lax.axis_index(RAY_AXIS)
+        offset = shard * n_local
+
+        def body(a, k):
+            it = start_iteration + k
+            a = render_iteration(scene, settings, a, it, seed=seed,
+                                 early_exit=early_exit, pixel_offset=offset,
+                                 key_salt=shard)
+            return a, None
+
+        accum, _ = jax.lax.scan(body, accum,
+                                jnp.arange(n_iters, dtype=jnp.int32))
+        return accum
+
+    return run(scene, accum)
+
+
+def render_sharded(scene: SceneArrays, settings: RenderSettings,
+                   mesh: Optional[Mesh] = None,
+                   iterations: Optional[int] = None, seed: int = 0,
+                   chunk: int = 16, early_exit: bool = True) -> jnp.ndarray:
+    """Full progressive render sharded over a mesh; returns [H,W,3] average."""
+    if mesh is None:
+        mesh = make_ray_mesh()
+    n_total = settings.iterations if iterations is None else iterations
+    scene = replicate(scene, mesh)
+    accum = shard_accum(zero_accum(settings), mesh)
+    done = 0
+    while done < n_total:
+        this = min(chunk, n_total - done)
+        accum = render_chunk_sharded(scene, settings, mesh, accum,
+                                     jnp.int32(done + 1), this, seed,
+                                     early_exit)
+        done += this
+    avg = accum * (1.0 / jnp.float32(n_total))
+    return avg.to_array().reshape(settings.height, settings.width, 3)
+
+
+def albedo_fit_step(scene: SceneArrays, settings: RenderSettings,
+                    mesh: Mesh, target: Vec3, iteration: jnp.ndarray,
+                    lr: float = 0.5, seed: int = 0):
+    """One differentiable-rendering SGD step, sharded over the mesh.
+
+    The FULL training step the driver dry-runs multi-chip: render one
+    iteration with the ray pool sharded (dp over rays), compute an L2 loss
+    against the sharded target image, backprop through the whole bounce loop
+    (reparameterized sampling), psum the material-albedo gradient over ICI,
+    and apply SGD. Returns (new_scene, loss).
+    """
+    n_shards = mesh.shape[RAY_AXIS]
+    n_local = settings.pixel_count // n_shards
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(RAY_AXIS)), out_specs=(P(), P()),
+             check_vma=False)
+    def step(scene, target):
+        shard = jax.lax.axis_index(RAY_AXIS)
+        offset = shard * n_local
+
+        def loss_fn(albedo):
+            mats = scene.materials._replace(color=albedo)
+            s2 = scene._replace(materials=mats)
+            accum = Vec3.zeros((n_local,))
+            img = render_iteration(s2, settings, accum, iteration, seed=seed,
+                                   early_exit=False, pixel_offset=offset,
+                                   key_salt=shard)
+            d = img - target
+            local = jnp.sum(d.x * d.x + d.y * d.y + d.z * d.z)
+            return local / (3.0 * settings.pixel_count)
+
+        local_loss, g_local = jax.value_and_grad(loss_fn)(scene.materials.color)
+        # Each shard's grad covers only its own pixels; all-reduce over ICI
+        # gives the full gradient replicated on every chip (the gradient
+        # all-reduce of SURVEY.md §2.6 / §5).
+        g = jax.lax.psum(g_local, RAY_AXIS)
+        loss = jax.lax.psum(local_loss, RAY_AXIS)
+        new_color = jnp.clip(scene.materials.color - lr * g, 0.0, 1.0)
+        new_scene = scene._replace(
+            materials=scene.materials._replace(color=new_color))
+        return new_scene, loss
+
+    return step(scene, target)

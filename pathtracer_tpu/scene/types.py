@@ -1,0 +1,255 @@
+"""Scene data model: flat SoA arrays, TPU-resident, pytree-registered.
+
+This is the TPU-native analogue of the reference's seven device buffers uploaded
+in pathtraceInit (reference src/pathtrace.cu:143-233): geoms, materials, BVH
+nodes, BVH triangles, plus camera parameters. Everything dynamic (differentiable
+or device-resident) lives in NamedTuples (automatic pytrees); static shape-/
+compile-relevant settings live in `RenderSettings` (hashable, passed as a static
+argument to jit).
+
+Geometry types follow reference src/sceneStructs.h:14-19.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# GeomType enum (reference sceneStructs.h:14-19)
+SPHERE = 0
+CUBE = 1
+MESH = 2
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+class GeomArrays(NamedTuple):
+    """SoA of reference `Geom` (sceneStructs.h:27-39)."""
+
+    gtype: jnp.ndarray             # [G] int32 in {SPHERE, CUBE, MESH}
+    material_id: jnp.ndarray       # [G] int32
+    transform: jnp.ndarray         # [G, 4, 4] f32
+    inverse_transform: jnp.ndarray  # [G, 4, 4] f32
+    inv_transpose: jnp.ndarray     # [G, 4, 4] f32
+    root_node: jnp.ndarray         # [G] int32; BVH root for MESH, -1 otherwise
+
+    @property
+    def count(self) -> int:
+        return self.gtype.shape[0]
+
+
+class MaterialArrays(NamedTuple):
+    """SoA of reference `Material` (sceneStructs.h:71-83). Differentiable leaves."""
+
+    color: jnp.ndarray              # [M, 3] f32 (albedo)
+    specular_color: jnp.ndarray     # [M, 3] f32
+    specular_exponent: jnp.ndarray  # [M] f32
+    has_reflective: jnp.ndarray     # [M] f32 (1 - roughness)
+    has_refractive: jnp.ndarray     # [M] f32 (1 - transparency)
+    ior: jnp.ndarray                # [M] f32
+    emittance: jnp.ndarray          # [M] f32
+
+    @property
+    def count(self) -> int:
+        return self.emittance.shape[0]
+
+
+class BVHArrays(NamedTuple):
+    """SoA of reference `LinearBVHNode` (sceneStructs.h:55-59).
+
+    Depth-first layout: node i's left child is i+1; right child at
+    `second_child[i]`. Leaf iff tri_idx[i] >= 0 (exactly one triangle/leaf).
+    Bounds are fully component-split ([N] per component) so per-ray traversal
+    gathers are contiguous 1-D gathers on TPU.
+    """
+
+    min_x: jnp.ndarray  # [N] f32
+    min_y: jnp.ndarray
+    min_z: jnp.ndarray
+    max_x: jnp.ndarray
+    max_y: jnp.ndarray
+    max_z: jnp.ndarray
+    tri_idx: jnp.ndarray       # [N] int32, -1 for interior
+    second_child: jnp.ndarray  # [N] int32
+
+
+class TriangleArrays(NamedTuple):
+    """SoA of reference `TriangleVerts` (sceneStructs.h:61-69), world-space
+    baked, fully component-split for 1-D gathers: 18 coordinate arrays [T]."""
+
+    v0x: jnp.ndarray
+    v0y: jnp.ndarray
+    v0z: jnp.ndarray
+    v1x: jnp.ndarray
+    v1y: jnp.ndarray
+    v1z: jnp.ndarray
+    v2x: jnp.ndarray
+    v2y: jnp.ndarray
+    v2z: jnp.ndarray
+    n0x: jnp.ndarray
+    n0y: jnp.ndarray
+    n0z: jnp.ndarray
+    n1x: jnp.ndarray
+    n1y: jnp.ndarray
+    n1z: jnp.ndarray
+    n2x: jnp.ndarray
+    n2y: jnp.ndarray
+    n2z: jnp.ndarray
+    material_id: jnp.ndarray  # [T] int32
+
+    def vertex(self, name: str, idx: jnp.ndarray):
+        """Gather one corner/normal as a Vec3 of [N] (name in v0..n2)."""
+        from ..utils.vec import Vec3
+        return Vec3(getattr(self, name + "x")[idx],
+                    getattr(self, name + "y")[idx],
+                    getattr(self, name + "z")[idx])
+
+
+class CameraArrays(NamedTuple):
+    """Dynamic camera parameters (reference sceneStructs.h:85-97).
+
+    Resolution is static (it sets array shapes) and lives in RenderSettings.
+    These are differentiable: gradients w.r.t. position/view/lens params flow
+    through ray generation.
+    """
+
+    position: jnp.ndarray        # [3]
+    view: jnp.ndarray            # [3]
+    up: jnp.ndarray              # [3]
+    right: jnp.ndarray           # [3]
+    pixel_length: jnp.ndarray    # [2]
+    lens_radius: jnp.ndarray     # [] scalar
+    focal_distance: jnp.ndarray  # [] scalar
+
+
+class SceneArrays(NamedTuple):
+    """Everything the device needs — the analogue of pathtraceInit's uploads."""
+
+    geoms: GeomArrays
+    materials: MaterialArrays
+    bvh: BVHArrays
+    triangles: TriangleArrays
+    camera: CameraArrays
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static, hashable render configuration.
+
+    Replaces the reference's compile-time #define matrix (pathtrace.cu:26-42)
+    and the scene JSON's camera block statics (scene.cpp:225-230).
+    """
+
+    width: int
+    height: int
+    trace_depth: int = 8
+    iterations: int = 5000
+    image_name: str = "render"
+    jitter: bool = True          # JITTER: Gaussian AA, sigma=0.005, clamp +-0.5
+    dof: bool = True             # DOF: thin-lens, active iff lens_radius > 0
+    sort_materials: bool = False  # COALESCED: material-key sort each bounce
+    compact: bool = True         # STREAM_COMPACT: pack live rays each bounce
+    use_bvh: bool = True
+    look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)
+    fovy_deg: float = 45.0
+    # Static per-geom type tuple (SPHERE/CUBE/MESH): lets the trace-time geom
+    # loop unroll per type so XLA fuses all analytic tests into one pass.
+    geom_types: tuple = ()
+
+    @property
+    def pixel_count(self) -> int:
+        return self.width * self.height
+
+
+def _pad4(m: np.ndarray) -> np.ndarray:
+    return np.asarray(m, dtype=np.float32)
+
+
+def make_scene_arrays(
+    geom_list, material_list, bvh_nodes, bvh_tris, camera
+) -> SceneArrays:
+    """Build device SceneArrays from host-side Python lists/dicts (see loader)."""
+    g = len(geom_list)
+    geoms = GeomArrays(
+        gtype=jnp.asarray([x["type"] for x in geom_list], dtype=I32),
+        material_id=jnp.asarray([x["material_id"] for x in geom_list], dtype=I32),
+        transform=jnp.asarray(
+            np.stack([_pad4(x["transform"]) for x in geom_list]), dtype=F32
+        ),
+        inverse_transform=jnp.asarray(
+            np.stack([_pad4(x["inverse_transform"]) for x in geom_list]), dtype=F32
+        ),
+        inv_transpose=jnp.asarray(
+            np.stack([_pad4(x["inv_transpose"]) for x in geom_list]), dtype=F32
+        ),
+        root_node=jnp.asarray([x.get("root_node", -1) for x in geom_list], dtype=I32),
+    )
+    assert g > 0, "scene must have at least one geom"
+
+    m = len(material_list)
+    assert m > 0, "scene must have at least one material"
+
+    def mat_field(key, default, dim=None):
+        if dim is None:
+            return jnp.asarray(
+                [x.get(key, default) for x in material_list], dtype=F32
+            )
+        return jnp.asarray(
+            np.array([x.get(key, default) for x in material_list], dtype=np.float32)
+        )
+
+    materials = MaterialArrays(
+        color=mat_field("color", (0.0, 0.0, 0.0), dim=3),
+        specular_color=mat_field("specular_color", (0.0, 0.0, 0.0), dim=3),
+        specular_exponent=mat_field("specular_exponent", 0.0),
+        has_reflective=mat_field("has_reflective", 0.0),
+        has_refractive=mat_field("has_refractive", 0.0),
+        ior=mat_field("ior", 0.0),
+        emittance=mat_field("emittance", 0.0),
+    )
+
+    # Never-empty BVH/triangle buffers: keep one degenerate node so shapes are
+    # static and non-zero even for meshless scenes (XLA needs static shapes).
+    if bvh_nodes is None or len(bvh_nodes["bounds_min"]) == 0:
+        inf = np.float32(np.inf)
+        bvh = BVHArrays(
+            min_x=jnp.full((1,), inf, F32), min_y=jnp.full((1,), inf, F32),
+            min_z=jnp.full((1,), inf, F32), max_x=jnp.full((1,), -inf, F32),
+            max_y=jnp.full((1,), -inf, F32), max_z=jnp.full((1,), -inf, F32),
+            tri_idx=jnp.zeros((1,), dtype=I32),
+            second_child=jnp.zeros((1,), dtype=I32),
+        )
+        z1 = jnp.zeros((1,), F32)
+        tris = TriangleArrays(*([z1] * 18), material_id=jnp.zeros((1,), I32))
+    else:
+        bmin = np.asarray(bvh_nodes["bounds_min"], dtype=np.float32)
+        bmax = np.asarray(bvh_nodes["bounds_max"], dtype=np.float32)
+        bvh = BVHArrays(
+            min_x=jnp.asarray(bmin[:, 0]), min_y=jnp.asarray(bmin[:, 1]),
+            min_z=jnp.asarray(bmin[:, 2]), max_x=jnp.asarray(bmax[:, 0]),
+            max_y=jnp.asarray(bmax[:, 1]), max_z=jnp.asarray(bmax[:, 2]),
+            tri_idx=jnp.asarray(bvh_nodes["tri_idx"], dtype=I32),
+            second_child=jnp.asarray(bvh_nodes["second_child"], dtype=I32),
+        )
+        comps = []
+        for name in ("v0", "v1", "v2", "n0", "n1", "n2"):
+            arr = np.asarray(bvh_tris[name], dtype=np.float32)
+            comps.extend([jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]),
+                          jnp.asarray(arr[:, 2])])
+        tris = TriangleArrays(
+            *comps, material_id=jnp.asarray(bvh_tris["material_id"], dtype=I32))
+
+    cam = CameraArrays(
+        position=jnp.asarray(camera["position"], dtype=F32),
+        view=jnp.asarray(camera["view"], dtype=F32),
+        up=jnp.asarray(camera["up"], dtype=F32),
+        right=jnp.asarray(camera["right"], dtype=F32),
+        pixel_length=jnp.asarray(camera["pixel_length"], dtype=F32),
+        lens_radius=jnp.asarray(camera["lens_radius"], dtype=F32),
+        focal_distance=jnp.asarray(camera["focal_distance"], dtype=F32),
+    )
+    return SceneArrays(geoms=geoms, materials=materials, bvh=bvh,
+                       triangles=tris, camera=cam)

@@ -1,0 +1,34 @@
+"""Test configuration: all tests run on CPU with 8 virtual devices so the
+multi-chip sharding path is exercised without TPU hardware
+(XLA_FLAGS=--xla_force_host_platform_device_count, SURVEY.md §4)."""
+import os
+
+# Must be set before jax initializes a backend.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cornell_path():
+    """The reference Cornell scene (read from the read-only reference mount if
+    present, else the repo's own copy)."""
+    for p in ("/root/reference/scenes/cornell.json", "scenes/cornell.json"):
+        if os.path.exists(p):
+            return p
+    pytest.skip("no cornell.json available")
+
+
+@pytest.fixture(scope="session")
+def cornell_small(cornell_path):
+    from pathtracer_tpu import load_scene
+
+    return load_scene(cornell_path, overrides={"RES": [64, 64], "DEPTH": 4,
+                                               "ITERATIONS": 8})

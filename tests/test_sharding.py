@@ -1,0 +1,72 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.engine.wavefront import render_chunk, zero_accum
+from pathtracer_tpu.parallel.sharding import (albedo_fit_step, make_ray_mesh,
+                                              render_chunk_sharded,
+                                              render_sharded, replicate,
+                                              shard_accum)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    return make_ray_mesh()
+
+
+def test_sharded_render_statistically_matches(cornell_small, mesh):
+    """The sharded render uses different RNG streams but must agree in
+    expectation with the single-device render."""
+    scene, settings = cornell_small
+    n_iters = 32
+    single = render_chunk(scene, settings, zero_accum(settings), jnp.int32(1),
+                          n_iters, 0, True)
+    img1 = np.asarray(single.to_array()) / n_iters
+
+    img2 = np.asarray(render_sharded(scene, settings, mesh,
+                                     iterations=n_iters, chunk=n_iters))
+    img2 = img2.reshape(-1, 3)
+    # pixel-mean brightness within MC tolerance
+    assert abs(img1.mean() - img2.mean()) < 0.03
+    # structural agreement: correlation of the two noisy renders is high
+    c = np.corrcoef(img1.ravel(), img2.ravel())[0, 1]
+    assert c > 0.9
+
+
+def test_sharded_shapes_and_placement(cornell_small, mesh):
+    scene, settings = cornell_small
+    scene_r = replicate(scene, mesh)
+    accum = shard_accum(zero_accum(settings), mesh)
+    out = render_chunk_sharded(scene_r, settings, mesh, accum, jnp.int32(1), 2,
+                               0, False)
+    assert out.x.shape == (settings.pixel_count,)
+    # output stays sharded over the mesh (no implicit gather)
+    assert len(out.x.sharding.device_set) == mesh.size
+
+
+def test_albedo_fit_step_runs_and_descends(cornell_small, mesh):
+    """One sharded differentiable step must produce a finite loss and a
+    gradient that changes the albedo toward the target."""
+    scene, settings = cornell_small
+    scene_r = replicate(scene, mesh)
+    accum = shard_accum(zero_accum(settings), mesh)
+    target = render_chunk_sharded(scene_r, settings, mesh, accum, jnp.int32(1),
+                                  1, 0, False)
+
+    # perturb the albedo away from truth, then take one step against target
+    mats = scene_r.materials
+    wrong = jnp.clip(mats.color + 0.2, 0.0, 1.0)
+    scene_wrong = scene_r._replace(materials=mats._replace(color=wrong))
+
+    s1, loss1 = albedo_fit_step(scene_wrong, settings, mesh, target,
+                                jnp.int32(1), lr=0.5, seed=0)
+    assert np.isfinite(float(loss1))
+    # second step at the updated point, same RNG: loss must not increase
+    s2, loss2 = albedo_fit_step(s1, settings, mesh, target, jnp.int32(1),
+                                lr=0.5, seed=0)
+    assert float(loss2) <= float(loss1) + 1e-6
