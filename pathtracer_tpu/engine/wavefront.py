@@ -9,11 +9,48 @@ liveness exactly as the reference does (>0 live, ==0 done-not-gathered,
 lax.while_loop (forward-only, early-exits when every path has terminated —
 the analogue of the reference's `num_paths == 0` exit at pathtrace.cu:882-889).
 
-In masked mode lane index == pixel index, so the per-bounce image gather
-(gatherImage, pathtrace.cu:574-589) is a pure elementwise select-add — no
-scatter at all. Accumulation contract matches the reference: the image is a
-running SUM over iterations; display/save divides by the iteration count
-(pathtrace.cu:88-90, main.cpp:395-417).
+Three pool-processing modes map the reference's feature flags to TPU reality:
+
+  masked (default)       Lane index == pixel index; dead lanes are select-noops.
+                         The per-bounce image gather (gatherImage,
+                         pathtrace.cu:574-589) is a pure elementwise select-add.
+                         A dead VPU lane costs nothing extra, so this is the
+                         fastest closed-scene mode.
+
+  compact (STREAM_COMPACT equivalent, settings.compact + early_exit)
+                         Tile-granular work skipping: the pool is processed in
+                         static tiles and a tile whose lanes are ALL dead is
+                         skipped via lax.cond — zero intersect/shade/RNG work.
+                         MEASURED RESULT on TPU v5e: this LOSES. Per-tile
+                         fixed fusion overhead is ~0.2 ms regardless of tile
+                         size (80x8k tiles: 86 ms/frame vs 8 ms masked), so
+                         every tile size is dominated by launch overhead, and
+                         full-pool permutation was also rejected (13-operand
+                         lax.sort of a 640k pool ~5.3 ms; random gathers
+                         ~16 ms per [640k] array — see ops/scan.py). The
+                         reference's remove_if win (pathtrace.cu:601-613)
+                         comes from warp retirement, which a vector machine
+                         gets for free from masking; what remains is captured
+                         by (a) the global early-exit while_loop and (b) the
+                         persistent-wavefront engine (engine/persistent.py),
+                         which respawns dead lanes with the next sample and
+                         strictly dominates compaction. The mode is kept for
+                         ablation/parity studies.
+
+  sorted (COALESCED equivalent, settings.sort_materials + early_exit)
+                         Per bounce: full-pool intersect, stable multi-operand
+                         sort by material key (kernSetKeys + sort_by_key,
+                         pathtrace.cu:592-599,825-841), then shade. Lanes
+                         carry their pixel index; accumulation becomes a
+                         scatter-add. On TPU all BSDF branches are computed
+                         and selected anyway (no warp divergence to fix), so
+                         this is strictly a parity/ablation mode — measured
+                         slower, exactly as the reference found (+22%,
+                         README.md:161-165).
+
+Accumulation contract matches the reference: the image is a running SUM over
+iterations; display/save divides by the iteration count (pathtrace.cu:88-90,
+main.cpp:395-417).
 
 All per-ray state is component-SoA (Vec3 of [N]) — see utils/vec.py for why.
 """
@@ -29,6 +66,7 @@ from ..ops import rng
 from ..ops.bsdf import shade
 from ..ops.camera import generate_camera_rays
 from ..ops.intersect import intersect_scene
+from ..ops.scan import sort_by_key_multisort
 from ..scene.types import RenderSettings, SceneArrays
 from ..utils.vec import Vec3
 
@@ -38,6 +76,9 @@ class PathState(NamedTuple):
     direction: Vec3                 # [N] x3
     color: Vec3                     # [N] x3 running throughput
     remaining_bounces: jnp.ndarray  # [N] i32
+    pixel: jnp.ndarray              # [N] i32 local pixel index (PathSegment::
+    #                                 pixelIndex, sceneStructs.h:104; identity
+    #                                 until a sort permutes lanes)
 
 
 def generate_paths(scene: SceneArrays, settings: RenderSettings,
@@ -59,13 +100,15 @@ def generate_paths(scene: SceneArrays, settings: RenderSettings,
         direction=direction,
         color=Vec3(one, one, one),
         remaining_bounces=jnp.full((n,), settings.trace_depth, dtype=jnp.int32),
+        pixel=jnp.arange(n, dtype=jnp.int32),
     )
 
 
 def bounce_step(scene: SceneArrays, settings: RenderSettings,
                 iter_key: jax.Array, depth: jnp.ndarray,
                 state: PathState, image: Vec3) -> Tuple[PathState, Vec3]:
-    """One bounce: intersect -> shade -> gather (pathtrace.cu:752-894 body)."""
+    """One bounce, masked mode: intersect -> shade -> gather
+    (pathtrace.cu:752-894 body). Lane == pixel; elementwise gather."""
     n = state.origin.x.shape[0]
     t, normal, mat_id = intersect_scene(
         scene, settings.geom_types, state.origin, state.direction)
@@ -83,7 +126,109 @@ def bounce_step(scene: SceneArrays, settings: RenderSettings,
     image = image + Vec3.where(newly_done, color, zero)
     rb = jnp.where(newly_done, -1, rb)
 
-    return PathState(origin, direction, color, rb), image
+    return PathState(origin, direction, color, rb, state.pixel), image
+
+
+def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
+                       iter_key: jax.Array, depth: jnp.ndarray,
+                       state: PathState, image: Vec3
+                       ) -> Tuple[PathState, Vec3]:
+    """One bounce, material-sorted mode (COALESCED, pathtrace.cu:825-841).
+
+    Stages over the full pool: intersect -> set keys -> stable sort by key
+    (state AND intersection ride the sort network together, like
+    kernGatherArrays' double-buffer gather) -> shade -> scatter-add gather.
+    """
+    n = state.origin.x.shape[0]
+    t, normal, mat_id = intersect_scene(
+        scene, settings.geom_types, state.origin, state.direction)
+
+    # kernSetKeys (pathtrace.cu:592-599): the key is the intersection's
+    # materialId; misses keep the memset default 0 (pathtrace.cu:755).
+    keys = jnp.where(t > 0.0, mat_id, 0)
+    payload = (state, t, normal, mat_id)
+    _, (state, t, normal, mat_id) = sort_by_key_multisort(keys, payload)
+
+    u = rng.uniforms(rng.bounce_key(iter_key, depth), n, 4)
+    origin, direction, color, rb = shade(
+        state.origin, state.direction, state.color, state.remaining_bounces,
+        t, normal, mat_id, scene.materials, u)
+
+    newly_done = rb == 0
+    contrib = Vec3.where(newly_done, color, Vec3.zeros((n,)))
+    image = Vec3(
+        image.x.at[state.pixel].add(contrib.x, unique_indices=True),
+        image.y.at[state.pixel].add(contrib.y, unique_indices=True),
+        image.z.at[state.pixel].add(contrib.z, unique_indices=True),
+    )
+    rb = jnp.where(newly_done, -1, rb)
+    return PathState(origin, direction, color, rb, state.pixel), image
+
+
+def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
+                      iter_key: jax.Array, depth: jnp.ndarray,
+                      state: PathState, image: Vec3, tile: int
+                      ) -> Tuple[PathState, Vec3]:
+    """One bounce, compact mode: per-tile work skipping (STREAM_COMPACT's
+    compute win, zero data movement — see module docstring).
+
+    The pool is reshaped [n] -> [n_tiles, tile] and walked with lax.scan over
+    the tile axis (windowed xs/ys — NOT fori_loop + dynamic_update_slice,
+    which was measured at 82 ms/frame from per-tile pool-wide updates). A
+    tile whose lanes are all dead skips intersect/shade/RNG via lax.cond.
+    Lane == pixel is preserved, so image updates stay elementwise.
+    """
+    n = state.origin.x.shape[0]
+    assert n % tile == 0, f"pool {n} not divisible by tile {tile}"
+    n_tiles = n // tile
+    bkey = rng.bounce_key(iter_key, depth)
+
+    tiled = jax.tree_util.tree_map(
+        lambda a: a.reshape(n_tiles, tile), (state, image))
+
+    def body(k, xs):
+        s, img = xs
+
+        def process(operands):
+            s, img = operands
+            t, normal, mat_id = intersect_scene(
+                scene, settings.geom_types, s.origin, s.direction)
+            u = rng.uniforms(jax.random.fold_in(bkey, k), tile, 4)
+            origin, direction, color, rb = shade(
+                s.origin, s.direction, s.color, s.remaining_bounces,
+                t, normal, mat_id, scene.materials, u)
+            newly_done = rb == 0
+            img = img + Vec3.where(newly_done, color, Vec3.zeros((tile,)))
+            rb = jnp.where(newly_done, -1, rb)
+            return PathState(origin, direction, color, rb, s.pixel), img
+
+        live = jnp.any(s.remaining_bounces > 0)
+        s, img = jax.lax.cond(live, process, lambda o: o, (s, img))
+        return k + 1, (s, img)
+
+    _, (state_t, image_t) = jax.lax.scan(body, jnp.int32(0), tiled)
+    state, image = jax.tree_util.tree_map(
+        lambda a: a.reshape(n), (state_t, image_t))
+    return state, image
+
+
+def _dispatch_bounce(scene, settings, iter_key, depth, state, image,
+                     early_exit: bool):
+    """Pick the bounce implementation for the configured mode.
+
+    The sorted/tiled modes are forward-only perf/parity modes; the
+    differentiable path (early_exit=False, used under jax.grad) always takes
+    the fused masked step.
+    """
+    if early_exit and settings.sort_materials:
+        return bounce_step_sorted(scene, settings, iter_key, depth, state,
+                                  image)
+    if early_exit and settings.compact:
+        tile = min(settings.compact_tile, image.x.shape[0])
+        if image.x.shape[0] % tile == 0 and image.x.shape[0] > tile:
+            return bounce_step_tiled(scene, settings, iter_key, depth, state,
+                                     image, tile)
+    return bounce_step(scene, settings, iter_key, depth, state, image)
 
 
 def render_iteration(scene: SceneArrays, settings: RenderSettings,
@@ -120,8 +265,8 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
 
         def body(carry):
             depth, state, image = carry
-            state, image = bounce_step(scene, settings, iter_key, depth,
-                                       state, image)
+            state, image = _dispatch_bounce(scene, settings, iter_key, depth,
+                                            state, image, early_exit=True)
             return depth + 1, state, image
 
         _, _, accum = jax.lax.while_loop(
@@ -138,6 +283,32 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
         scan_body, (state, accum),
         jnp.arange(settings.trace_depth, dtype=jnp.int32))
     return accum
+
+
+def ray_survival(scene: SceneArrays, settings: RenderSettings,
+                 iteration: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
+    """Live-ray count per bounce depth for one iteration — the
+    PRINT_RAY_COUNT instrumentation (pathtrace.cu:42,746-750,877-881) that
+    produced the reference's ray-survival table (README.md:112-116).
+
+    Returns [trace_depth + 1] i32: counts BEFORE each bounce (index 0 =
+    primary rays) and after the last.
+    """
+    iter_key = rng.iteration_key(seed, iteration)
+    state = generate_paths(scene, settings, iter_key)
+    image = Vec3.zeros((settings.pixel_count,))
+
+    def body(carry, depth):
+        state, image = carry
+        count = jnp.sum((state.remaining_bounces > 0).astype(jnp.int32))
+        state, image = bounce_step(scene, settings, iter_key, depth,
+                                   state, image)
+        return (state, image), count
+
+    (state, _), counts = jax.lax.scan(
+        body, (state, image), jnp.arange(settings.trace_depth, dtype=jnp.int32))
+    final = jnp.sum((state.remaining_bounces > 0).astype(jnp.int32))
+    return jnp.concatenate([counts, final[None]])
 
 
 @partial(jax.jit, static_argnames=("settings", "n_iters", "seed", "early_exit"),
@@ -176,7 +347,7 @@ def render(scene: SceneArrays, settings: RenderSettings,
 
     The running-sum accumulation restarts/resumes exactly like the reference's
     dev_image (progressive accumulation; restartable from a checkpoint of
-    (accum, iteration) — SURVEY.md §5 checkpoint/resume).
+    (accum, iteration) — SURVEY.md §5 checkpoint/resume; see utils/checkpoint).
     """
     n_total = settings.iterations if iterations is None else iterations
     if accum is None:

@@ -1,0 +1,233 @@
+"""Parallel-primitives: exclusive scan, stream compaction, radix sort.
+
+TPU-native re-design of the reference's standalone `stream_compaction/`
+library (reference stream_compaction/efficient.cu, radix_sort.cu, common.cu):
+
+  - `exclusive_scan`: the reference's work-efficient multi-block Blelloch scan
+    (efficient.cu:19-187) maps on TPU to ONE Pallas kernel: the grid is
+    executed sequentially per core, so a running carry in SMEM scratch
+    replaces the recursive block-sums pass entirely. Each grid step scans one
+    VMEM tile on the VPU (row cumsum + row-offset fixup) and bumps the carry:
+    one HBM read + one write per element — bandwidth-optimal, versus XLA's
+    O(log n) multi-pass lowering of jnp.cumsum.
+  - `compact`: map-to-boolean -> exclusive scan -> scatter
+    (Efficient::compact, efficient.cu:250-332; Common::kernMapToBoolean /
+    kernScatter, common.cu:25-46). The scatter builds a gather permutation so
+    the payload moves via gathers (TPU-friendlier than N scatters).
+  - `partition_stable`: liveness partition that KEEPS dead elements at the
+    back — the engine's compaction (wavefront lanes carry their pixel through
+    the permutation; see engine/wavefront.py).
+  - `sort_by_key`: stable LSD radix sort, one bit per pass over the live key
+    range (RadixSort::sort / onestep, radix_sort.cu:16-165) — the COALESCED
+    material sort.
+
+All entry points take `use_pallas`: True → Pallas kernel (interpret mode off
+TPU, so the same tests run everywhere), False → jnp reference semantics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128          # VPU lane width
+TILE_ROWS = 32       # sublanes per scan tile -> 4096 elements/tile
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Exclusive scan
+# ---------------------------------------------------------------------------
+
+def _inclusive_scan_2d(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Hillis-Steele inclusive scan along `axis` of a 2-D block.
+
+    log2(dim) shift-add steps on the VPU (pltpu.roll + iota mask) — Mosaic has
+    no native cumsum lowering. This is the in-register analogue of the
+    reference's shared-memory Blelloch sweep (efficient.cu:19-67); Hillis-
+    Steele wins here because VPU ops are full-width regardless of stride.
+    """
+    dim = x.shape[axis]
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    k = 1
+    while k < dim:
+        shifted = pltpu.roll(x, k, axis)
+        x = x + jnp.where(pos >= k, shifted, jnp.zeros_like(x))
+        k *= 2
+    return x
+
+
+def _scan_kernel(x_ref, out_ref, carry_ref):
+    """One grid step: exclusive-scan one (R, 128) tile + running carry.
+
+    Flattened row-major order: within-row inclusive scan, rows offset by the
+    exclusive scan of row totals, everything offset by the cross-tile carry.
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_ref[0, 0] = jnp.zeros((), dtype=carry_ref.dtype)
+
+    x = x_ref[:]
+    inc = _inclusive_scan_2d(x, axis=1)
+    row_tot = inc[:, LANES - 1:LANES]                       # [R, 1]
+    row_off = _inclusive_scan_2d(row_tot, axis=0) - row_tot  # exclusive [R, 1]
+    carry = carry_ref[0, 0]
+    out_ref[:] = inc - x + row_off + carry
+    carry_ref[0, 0] = carry + jnp.sum(row_tot)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def exclusive_scan(x: jnp.ndarray, use_pallas: bool = True) -> jnp.ndarray:
+    """Exclusive prefix sum of a 1-D array (any length, i32/f32).
+
+    Pallas path: sequential-grid tile scan with SMEM carry (the TPU analogue
+    of recursiveScan, efficient.cu:155-187). jnp path: cumsum - x.
+    """
+    n = x.shape[0]
+    if not use_pallas or n < TILE_ROWS * LANES:
+        return jnp.cumsum(x) - x
+
+    tile = TILE_ROWS * LANES
+    n_pad = ((n + tile - 1) // tile) * tile
+    xp = jnp.pad(x, (0, n_pad - n)).reshape(-1, LANES)
+    rows = xp.shape[0]
+    grid = rows // TILE_ROWS
+
+    out = pl.pallas_call(
+        _scan_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), x.dtype),
+        scratch_shapes=[pltpu.SMEM((1, 1), x.dtype)],
+        interpret=_interpret(),
+    )(xp)
+    return out.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Compaction / partition
+# ---------------------------------------------------------------------------
+
+def _scatter_perm(dst: jnp.ndarray, n: int) -> jnp.ndarray:
+    """gather_idx[j] = i where dst[i] == j (dst a permutation of 0..n-1)."""
+    iota = jnp.arange(n, dtype=jnp.int32)
+    return jnp.zeros((n,), jnp.int32).at[dst].set(iota, unique_indices=True)
+
+
+def partition_multisort(tree, mask: jnp.ndarray):
+    """Fast stable liveness partition via XLA's multi-operand sort.
+
+    Measured on TPU v5 class hardware: one 13-operand lax.sort of a 640k pool
+    is ~5.3 ms, versus ~183 ms for sort_key_val + per-leaf random gathers —
+    payload must ride INSIDE the sort network; random gathers of [640k] are
+    ~16 ms each. Even so, ~5 ms/bounce is far too slow for the hot loop (the
+    whole Cornell frame is ~9 ms), which is why the engine's default
+    compaction is tile-granular skipping with NO data movement
+    (engine/wavefront.py); this full partition backs the COALESCED-style
+    material sort and open-scene pool shrinking where it pays off.
+
+    Returns (packed_tree, live_count): live lanes first, stable; dead lanes
+    preserved at the back, stable.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    key = jnp.where(mask, 0, 1).astype(jnp.int32)
+    iota = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort([key, iota] + leaves, num_keys=2)
+    live_count = jnp.sum(mask.astype(jnp.int32))
+    return jax.tree_util.tree_unflatten(treedef, out[2:]), live_count
+
+
+def sort_by_key_multisort(keys: jnp.ndarray, tree):
+    """Stable sort of a pytree by integer keys via one multi-operand lax.sort
+    (the fast path behind the COALESCED material sort; see partition_multisort
+    for the measurements that rule out gather-based movement)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort([keys.astype(jnp.int32), iota] + leaves, num_keys=2)
+    return out[0], jax.tree_util.tree_unflatten(treedef, out[2:])
+
+
+def compaction_indices(mask: jnp.ndarray, use_pallas: bool = True
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable-partition permutation from a liveness mask.
+
+    Returns (gather_idx [N] i32, live_count [] i32): gather_idx[:live_count]
+    are the indices of live elements in order; the rest index dead elements in
+    order (the reference's remove_if discards them; we keep them at the back
+    so terminated wavefront lanes ride along — see engine docstring).
+    """
+    n = mask.shape[0]
+    b = mask.astype(jnp.int32)
+    live_pos = exclusive_scan(b, use_pallas)                 # rank among live
+    live_count = live_pos[-1] + b[-1]
+    nb = 1 - b
+    dead_pos = jnp.cumsum(nb) - nb                           # rank among dead
+    dst = jnp.where(mask, live_pos, live_count + dead_pos)
+    return _scatter_perm(dst, n), live_count
+
+
+def gather_tree(tree, idx: jnp.ndarray):
+    """Apply a gather permutation to every [N] leaf of a pytree."""
+    return jax.tree_util.tree_map(lambda a: a[idx], tree)
+
+
+def compact(tree, mask: jnp.ndarray, use_pallas: bool = True):
+    """Stream compaction of a pytree of [N] arrays by a boolean mask.
+
+    Matches StreamCompaction::Efficient::compact semantics
+    (efficient.cu:250-332): live elements packed to the front in stable order;
+    returns (packed_tree, live_count). Trailing slots hold the dead elements
+    (stable) rather than garbage.
+    """
+    idx, count = compaction_indices(mask, use_pallas)
+    return gather_tree(tree, idx), count
+
+
+def partition_stable(tree, mask: jnp.ndarray, use_pallas: bool = True):
+    """Alias of `compact` emphasizing that dead elements are preserved."""
+    return compact(tree, mask, use_pallas)
+
+
+# ---------------------------------------------------------------------------
+# Radix sort
+# ---------------------------------------------------------------------------
+
+def sort_by_key(keys: jnp.ndarray, tree, n_bits: int = 6,
+                use_pallas: bool = True):
+    """Stable LSD radix sort of a pytree by non-negative integer keys.
+
+    One bit per pass (RadixSort::sort, radix_sort.cu:97-165): partition by
+    the bit via two exclusive scans, ones offset by totalZeros, permutation
+    applied by gather. `n_bits` covers the key range (material ids are tiny;
+    the reference burns 32 passes, radix_sort.cu:104).
+
+    Returns (sorted_keys, sorted_tree).
+    """
+    n = keys.shape[0]
+    keys = keys.astype(jnp.int32)
+
+    def one_pass(carry, p):
+        keys, idx = carry
+        bit = (keys >> p) & 1
+        zeros = 1 - bit
+        zeros_excl = exclusive_scan(zeros, use_pallas)       # radix_to_bools
+        total_zeros = zeros_excl[-1] + zeros[-1]
+        ones_excl = jnp.cumsum(bit) - bit
+        dst = jnp.where(bit == 0, zeros_excl, total_zeros + ones_excl)
+        g = _scatter_perm(dst, n)
+        return (keys[g], idx[g]), None
+
+    idx0 = jnp.arange(n, dtype=jnp.int32)
+    (sorted_keys, perm), _ = jax.lax.scan(
+        one_pass, (keys, idx0), jnp.arange(n_bits, dtype=jnp.int32))
+    return sorted_keys, gather_tree(tree, perm)

@@ -151,7 +151,8 @@ class RenderSettings:
     jitter: bool = True          # JITTER: Gaussian AA, sigma=0.005, clamp +-0.5
     dof: bool = True             # DOF: thin-lens, active iff lens_radius > 0
     sort_materials: bool = False  # COALESCED: material-key sort each bounce
-    compact: bool = True         # STREAM_COMPACT: pack live rays each bounce
+    compact: bool = True         # STREAM_COMPACT: tile-granular work skipping
+    compact_tile: int = 16384    # lanes per skippable tile (compact mode)
     use_bvh: bool = True
     look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)
     fovy_deg: float = 45.0

@@ -74,3 +74,65 @@ def test_depth_exhaustion_quirk(cornell_small):
     img = np.asarray(render(scene, s1, iterations=4, chunk=4))
     # walls contribute their albedo directly -> image clearly non-black
     assert img.mean() > 0.1
+
+
+def _mode_settings(settings, **kw):
+    import dataclasses
+    return dataclasses.replace(settings, **kw)
+
+
+def test_tiled_mode_matches_masked_statistically(cornell_small):
+    """Tile-skip compaction (STREAM_COMPACT equivalent) draws a different RNG
+    stream per tile, so images agree in DISTRIBUTION: the averaged images must
+    converge to the same render (SURVEY.md §7c distributional parity)."""
+    scene, settings = cornell_small
+    spp = 48
+    s_masked = _mode_settings(settings, compact=False)
+    s_tiled = _mode_settings(settings, compact=True, compact_tile=1024)
+    img_m = np.asarray(render(scene, s_masked, iterations=spp, chunk=16))
+    img_t = np.asarray(render(scene, s_tiled, iterations=spp, chunk=16))
+    assert np.isfinite(img_t).all()
+    # global mean converges fast (4096 px * 48 spp samples)
+    assert abs(img_m.mean() - img_t.mean()) < 0.02
+    # 8x8-block downsampled images agree within MC tolerance
+    bm = img_m.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
+    bt = img_t.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
+    assert np.abs(bm - bt).mean() < 0.05
+
+
+def test_sorted_mode_matches_masked_statistically(cornell_small):
+    """COALESCED material sort permutes lanes (pixel ride-along + scatter-add
+    gather); must converge to the same image as masked mode."""
+    scene, settings = cornell_small
+    spp = 48
+    s_masked = _mode_settings(settings, compact=False)
+    s_sorted = _mode_settings(settings, compact=False, sort_materials=True)
+    img_m = np.asarray(render(scene, s_masked, iterations=spp, chunk=16))
+    img_s = np.asarray(render(scene, s_sorted, iterations=spp, chunk=16))
+    assert np.isfinite(img_s).all()
+    assert abs(img_m.mean() - img_s.mean()) < 0.02
+    bm = img_m.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
+    bs = img_s.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
+    assert np.abs(bm - bs).mean() < 0.05
+
+
+def test_sorted_mode_deterministic(cornell_small):
+    scene, settings = cornell_small
+    s_sorted = _mode_settings(settings, sort_materials=True)
+    i1 = render(scene, s_sorted, iterations=2, chunk=2, seed=5)
+    i2 = render(scene, s_sorted, iterations=2, chunk=2, seed=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ray_survival_counts(cornell_small):
+    """PRINT_RAY_COUNT equivalent: counts start at the full pool and are
+    non-increasing (paths only die: emitter hit / miss / depth exhaustion)."""
+    from pathtracer_tpu.engine.wavefront import ray_survival
+
+    scene, settings = cornell_small
+    counts = np.asarray(ray_survival(scene, settings, jnp.int32(1)))
+    assert counts.shape == (settings.trace_depth + 1,)
+    assert counts[0] == settings.pixel_count
+    assert (np.diff(counts) <= 0).all()
+    # closed box: some rays survive to the depth limit, then all are done
+    assert counts[-1] == 0 or settings.trace_depth > 4
