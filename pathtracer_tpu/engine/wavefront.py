@@ -82,15 +82,15 @@ class PathState(NamedTuple):
 
 
 def generate_paths(scene: SceneArrays, settings: RenderSettings,
-                   iter_key: jax.Array, n: int | None = None,
+                   irng: rng.IterationRng, n: int | None = None,
                    pixel_offset=0) -> PathState:
     """Camera raygen -> fresh path pool (generateRayFromCamera,
     pathtrace.cu:260-322). `n`/`pixel_offset` support sharded local blocks."""
     if n is None:
         n = settings.pixel_count
-    k_jit, k_dof = jax.random.split(jax.random.fold_in(iter_key, 0x5EED))
-    jitter = rng.normals(k_jit, n, 2) if settings.jitter else None
-    dof_u = rng.uniforms(k_dof, n, 2) if settings.dof else None
+    lanes = jnp.arange(n, dtype=jnp.int32)
+    jitter = irng.normals(-1, lanes, 2) if settings.jitter else None
+    dof_u = irng.uniforms(-2, lanes, 2) if settings.dof else None
     origin, direction = generate_camera_rays(
         scene.camera, settings.width, settings.height, jitter, dof_u,
         n=n, pixel_offset=pixel_offset)
@@ -105,7 +105,7 @@ def generate_paths(scene: SceneArrays, settings: RenderSettings,
 
 
 def bounce_step(scene: SceneArrays, settings: RenderSettings,
-                iter_key: jax.Array, depth: jnp.ndarray,
+                irng: rng.IterationRng, depth: jnp.ndarray,
                 state: PathState, image: Vec3) -> Tuple[PathState, Vec3]:
     """One bounce, masked mode: intersect -> shade -> gather
     (pathtrace.cu:752-894 body). Lane == pixel; elementwise gather."""
@@ -113,10 +113,12 @@ def bounce_step(scene: SceneArrays, settings: RenderSettings,
     t, normal, mat_id = intersect_scene(
         scene, settings.geom_types, state.origin, state.direction)
 
-    u = rng.uniforms(rng.bounce_key(iter_key, depth), n, 4)
+    u = irng.uniforms(depth, state.pixel, 4)
     origin, direction, color, rb = shade(
         state.origin, state.direction, state.color, state.remaining_bounces,
-        t, normal, mat_id, scene.materials, u)
+        t, normal, mat_id, scene.materials, u,
+        any_glossy=settings.any_glossy,
+        any_refractive=settings.any_refractive)
 
     # gatherImage: add lanes whose remaining_bounces just reached 0, then mark
     # them gathered (-1) so they are skipped and never double-added
@@ -130,7 +132,7 @@ def bounce_step(scene: SceneArrays, settings: RenderSettings,
 
 
 def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
-                       iter_key: jax.Array, depth: jnp.ndarray,
+                       irng: rng.IterationRng, depth: jnp.ndarray,
                        state: PathState, image: Vec3
                        ) -> Tuple[PathState, Vec3]:
     """One bounce, material-sorted mode (COALESCED, pathtrace.cu:825-841).
@@ -149,10 +151,12 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
     payload = (state, t, normal, mat_id)
     _, (state, t, normal, mat_id) = sort_by_key_multisort(keys, payload)
 
-    u = rng.uniforms(rng.bounce_key(iter_key, depth), n, 4)
+    u = irng.uniforms(depth, state.pixel, 4)
     origin, direction, color, rb = shade(
         state.origin, state.direction, state.color, state.remaining_bounces,
-        t, normal, mat_id, scene.materials, u)
+        t, normal, mat_id, scene.materials, u,
+        any_glossy=settings.any_glossy,
+        any_refractive=settings.any_refractive)
 
     newly_done = rb == 0
     contrib = Vec3.where(newly_done, color, Vec3.zeros((n,)))
@@ -166,7 +170,7 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
 
 
 def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
-                      iter_key: jax.Array, depth: jnp.ndarray,
+                      irng: rng.IterationRng, depth: jnp.ndarray,
                       state: PathState, image: Vec3, tile: int
                       ) -> Tuple[PathState, Vec3]:
     """One bounce, compact mode: per-tile work skipping (STREAM_COMPACT's
@@ -181,7 +185,6 @@ def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
     n = state.origin.x.shape[0]
     assert n % tile == 0, f"pool {n} not divisible by tile {tile}"
     n_tiles = n // tile
-    bkey = rng.bounce_key(iter_key, depth)
 
     tiled = jax.tree_util.tree_map(
         lambda a: a.reshape(n_tiles, tile), (state, image))
@@ -193,10 +196,12 @@ def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
             s, img = operands
             t, normal, mat_id = intersect_scene(
                 scene, settings.geom_types, s.origin, s.direction)
-            u = rng.uniforms(jax.random.fold_in(bkey, k), tile, 4)
+            u = irng.uniforms(depth, s.pixel, 4, salt=k)
             origin, direction, color, rb = shade(
                 s.origin, s.direction, s.color, s.remaining_bounces,
-                t, normal, mat_id, scene.materials, u)
+                t, normal, mat_id, scene.materials, u,
+                any_glossy=settings.any_glossy,
+                any_refractive=settings.any_refractive)
             newly_done = rb == 0
             img = img + Vec3.where(newly_done, color, Vec3.zeros((tile,)))
             rb = jnp.where(newly_done, -1, rb)
@@ -212,7 +217,7 @@ def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
     return state, image
 
 
-def _dispatch_bounce(scene, settings, iter_key, depth, state, image,
+def _dispatch_bounce(scene, settings, irng, depth, state, image,
                      early_exit: bool):
     """Pick the bounce implementation for the configured mode.
 
@@ -221,14 +226,14 @@ def _dispatch_bounce(scene, settings, iter_key, depth, state, image,
     the fused masked step.
     """
     if early_exit and settings.sort_materials:
-        return bounce_step_sorted(scene, settings, iter_key, depth, state,
+        return bounce_step_sorted(scene, settings, irng, depth, state,
                                   image)
     if early_exit and settings.compact:
         tile = min(settings.compact_tile, image.x.shape[0])
         if image.x.shape[0] % tile == 0 and image.x.shape[0] > tile:
-            return bounce_step_tiled(scene, settings, iter_key, depth, state,
+            return bounce_step_tiled(scene, settings, irng, depth, state,
                                      image, tile)
-    return bounce_step(scene, settings, iter_key, depth, state, image)
+    return bounce_step(scene, settings, irng, depth, state, image)
 
 
 def render_iteration(scene: SceneArrays, settings: RenderSettings,
@@ -250,11 +255,10 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
 
     Returns the updated accumulation image.
     """
-    iter_key = rng.iteration_key(seed, iteration)
-    if key_salt is not None:
-        iter_key = jax.random.fold_in(iter_key, key_salt)
+    irng = rng.IterationRng(settings.fast_rng, seed, iteration,
+                            pixel_offset=pixel_offset, key_salt=key_salt)
     n = accum.x.shape[0]
-    state = generate_paths(scene, settings, iter_key, n=n,
+    state = generate_paths(scene, settings, irng, n=n,
                            pixel_offset=pixel_offset)
 
     if early_exit:
@@ -265,7 +269,7 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
 
         def body(carry):
             depth, state, image = carry
-            state, image = _dispatch_bounce(scene, settings, iter_key, depth,
+            state, image = _dispatch_bounce(scene, settings, irng, depth,
                                             state, image, early_exit=True)
             return depth + 1, state, image
 
@@ -275,7 +279,7 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
 
     def scan_body(carry, depth):
         state, image = carry
-        state, image = bounce_step(scene, settings, iter_key, depth,
+        state, image = bounce_step(scene, settings, irng, depth,
                                    state, image)
         return (state, image), None
 
@@ -294,14 +298,14 @@ def ray_survival(scene: SceneArrays, settings: RenderSettings,
     Returns [trace_depth + 1] i32: counts BEFORE each bounce (index 0 =
     primary rays) and after the last.
     """
-    iter_key = rng.iteration_key(seed, iteration)
-    state = generate_paths(scene, settings, iter_key)
+    irng = rng.IterationRng(settings.fast_rng, seed, iteration)
+    state = generate_paths(scene, settings, irng)
     image = Vec3.zeros((settings.pixel_count,))
 
     def body(carry, depth):
         state, image = carry
         count = jnp.sum((state.remaining_bounces > 0).astype(jnp.int32))
-        state, image = bounce_step(scene, settings, iter_key, depth,
+        state, image = bounce_step(scene, settings, irng, depth,
                                    state, image)
         return (state, image), count
 

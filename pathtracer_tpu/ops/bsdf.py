@@ -142,69 +142,83 @@ class ScatterResult(NamedTuple):
 def scatter_ray(direction: Vec3, hit_point: Vec3, normal: Vec3,
                 m: LaneMaterials,
                 u_pick: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
-                u_fresnel: jnp.ndarray) -> ScatterResult:
+                u_fresnel: jnp.ndarray,
+                any_glossy: bool = True,
+                any_refractive: bool = True) -> ScatterResult:
     """Vectorized scatterRay (interactions.cu:54-149) over [N] lanes.
 
     Branch structure of the reference:
       diffuse    iff refl == 0 and refr == 0
       glossy     iff refl != 0 and refr == 0   (luminance-weighted pick)
       refractive iff refr != 0                 (Schlick Russian roulette)
+
+    `any_glossy` / `any_refractive` are TRACE-TIME flags (from the scene's
+    material table, RenderSettings): a branch no material can take is not
+    computed at all — the TPU analogue of the reference's warp-coherent
+    uber-kernel being cheap when a scene uses one BSDF. On all-diffuse scenes
+    this removes the Fresnel/refract/reflect chains (2 extra normalizes,
+    a sqrt, and ~60 VPU ops per lane per bounce).
     """
     base_origin = hit_point + normal * SCATTER_EPS  # interactions.cu:62
 
-    is_refr = m.has_refractive != 0.0
-    is_gloss = jnp.logical_and(m.has_reflective != 0.0, jnp.logical_not(is_refr))
-
     # --- Diffuse sample (also the glossy diffuse sub-branch), :65-69
     diff_dir = cosine_hemisphere(normal, u1, u2)
+    out_dir = diff_dir
+    out_origin = base_origin
+    throughput = m.color
 
-    # --- Glossy: luminance-weighted probabilistic pick, :72-104
-    def luma(c: Vec3):
-        return c.x * LUMA_R + c.y * LUMA_G + c.z * LUMA_B
+    if any_glossy:
+        # --- Glossy: luminance-weighted probabilistic pick, :72-104
+        def luma(c: Vec3):
+            return c.x * LUMA_R + c.y * LUMA_G + c.z * LUMA_B
 
-    roughness = 1.0 - m.has_reflective
-    diffuse_luma = luma(m.color) * (roughness + 0.2)
-    specular_luma = luma(m.specular_color) * (1.0 - roughness)
-    p_diffuse = diffuse_luma / (diffuse_luma + specular_luma + 1e-6)
-    gloss_take_diffuse = u_pick < p_diffuse
-    mirror_dir = reflect(direction, normal).normalize()
-    gloss_dir = Vec3.where(gloss_take_diffuse, diff_dir, mirror_dir)
-    gloss_thr = Vec3.where(gloss_take_diffuse, m.color, m.specular_color)
+        is_gloss = jnp.logical_and(m.has_reflective != 0.0,
+                                   m.has_refractive == 0.0)
+        roughness = 1.0 - m.has_reflective
+        diffuse_luma = luma(m.color) * (roughness + 0.2)
+        specular_luma = luma(m.specular_color) * (1.0 - roughness)
+        p_diffuse = diffuse_luma / (diffuse_luma + specular_luma + 1e-6)
+        gloss_take_diffuse = u_pick < p_diffuse
+        mirror_dir = reflect(direction, normal).normalize()
+        gloss_dir = Vec3.where(gloss_take_diffuse, diff_dir, mirror_dir)
+        gloss_thr = Vec3.where(gloss_take_diffuse, m.color, m.specular_color)
+        out_dir = Vec3.where(is_gloss, gloss_dir, out_dir)
+        throughput = Vec3.where(is_gloss, gloss_thr, throughput)
 
-    # --- Refractive, :107-146
-    cos_i0 = -direction.dot(normal)
-    entering = cos_i0 > 0.0
-    flip = jnp.where(entering, 1.0, -1.0)
-    r_normal = normal * flip
-    cos_i = jnp.abs(cos_i0)
-    ior_from = jnp.where(entering, 1.0, m.ior)
-    ior_to = jnp.where(entering, m.ior, 1.0)
-    eta = ior_from / ior_to
-    reflect_prob = fresnel_schlick(cos_i, ior_from, ior_to)
-    refr_dir = refract(direction, r_normal, eta)
-    tir = refr_dir.length_sq() < 1e-16  # |v| < 1e-8, interactions.cu:132
-    do_reflect = jnp.logical_or(tir, u_fresnel < reflect_prob)
-    refl_dir = reflect(direction, r_normal).normalize()
-    refr_dir_n = Vec3.where(tir, r_normal, refr_dir).normalize()
-    refract_out_dir = Vec3.where(do_reflect, refl_dir, refr_dir_n)
-    refract_origin = Vec3.where(do_reflect,
-                                hit_point + r_normal * SCATTER_EPS,
-                                hit_point - r_normal * SCATTER_EPS)
-    refract_thr = Vec3.where(do_reflect, m.specular_color, m.color)
+    if any_refractive:
+        # --- Refractive, :107-146
+        is_refr = m.has_refractive != 0.0
+        cos_i0 = -direction.dot(normal)
+        entering = cos_i0 > 0.0
+        flip = jnp.where(entering, 1.0, -1.0)
+        r_normal = normal * flip
+        cos_i = jnp.abs(cos_i0)
+        ior_from = jnp.where(entering, 1.0, m.ior)
+        ior_to = jnp.where(entering, m.ior, 1.0)
+        eta = ior_from / ior_to
+        reflect_prob = fresnel_schlick(cos_i, ior_from, ior_to)
+        refr_dir = refract(direction, r_normal, eta)
+        tir = refr_dir.length_sq() < 1e-16  # |v| < 1e-8, interactions.cu:132
+        do_reflect = jnp.logical_or(tir, u_fresnel < reflect_prob)
+        refl_dir = reflect(direction, r_normal).normalize()
+        refr_dir_n = Vec3.where(tir, r_normal, refr_dir).normalize()
+        refract_out_dir = Vec3.where(do_reflect, refl_dir, refr_dir_n)
+        refract_origin = Vec3.where(do_reflect,
+                                    hit_point + r_normal * SCATTER_EPS,
+                                    hit_point - r_normal * SCATTER_EPS)
+        refract_thr = Vec3.where(do_reflect, m.specular_color, m.color)
+        out_dir = Vec3.where(is_refr, refract_out_dir, out_dir)
+        out_origin = Vec3.where(is_refr, refract_origin, out_origin)
+        throughput = Vec3.where(is_refr, refract_thr, throughput)
 
-    # --- Combine
-    out_dir = Vec3.where(is_refr, refract_out_dir,
-                         Vec3.where(is_gloss, gloss_dir, diff_dir))
-    out_origin = Vec3.where(is_refr, refract_origin, base_origin)
-    throughput = Vec3.where(is_refr, refract_thr,
-                            Vec3.where(is_gloss, gloss_thr, m.color))
     return ScatterResult(out_origin, out_dir, throughput)
 
 
 def shade(origin: Vec3, direction: Vec3, color: Vec3,
           remaining_bounces: jnp.ndarray,
           t: jnp.ndarray, normal: Vec3, mat_id: jnp.ndarray,
-          materials: MaterialArrays, uniforms: jnp.ndarray):
+          materials: MaterialArrays, uniforms: jnp.ndarray,
+          any_glossy: bool = True, any_refractive: bool = True):
     """Vectorized shadeRealMaterial (pathtrace.cu:524-571).
 
     Args:
@@ -212,6 +226,8 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
       remaining_bounces [N] i32 (>0 live, ==0 done, <0 gathered).
       t/normal/mat_id: intersection SoA from intersect_scene.
       uniforms: [N,4] (pick, u1, u2, fresnel).
+      any_glossy/any_refractive: trace-time material-table capability flags
+        (see scatter_ray) — dead BSDF branches are never built.
 
     Returns updated (origin, direction, color, remaining_bounces). Lanes with
     remaining_bounces <= 0 on entry pass through unchanged (the reference skips
@@ -229,7 +245,8 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
 
     sc = scatter_ray(direction, hit_point, normal, m,
                      uniforms[:, 0], uniforms[:, 1], uniforms[:, 2],
-                     uniforms[:, 3])
+                     uniforms[:, 3], any_glossy=any_glossy,
+                     any_refractive=any_refractive)
 
     new_origin = Vec3.where(do_scatter, sc.origin, origin)
     new_direction = Vec3.where(do_scatter, sc.direction, direction)

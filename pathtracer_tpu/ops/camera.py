@@ -39,6 +39,7 @@ def generate_camera_rays(
     dof_uniforms: jnp.ndarray | None,
     n: int | None = None,
     pixel_offset=0,
+    pixel_idx=None,
 ):
     """Generate one primary ray per pixel.
 
@@ -52,6 +53,8 @@ def generate_camera_rays(
         caller passes its local block size).
       pixel_offset: global index of this block's first pixel (0 single-chip;
         shard offset under shard_map).
+      pixel_idx: optional explicit [n] global pixel indices (the persistent
+        engine's rotating lane->pixel schedule); overrides arange+offset.
 
     Returns:
       (origin Vec3, direction Vec3) of [N], lane i covering global pixel
@@ -59,7 +62,8 @@ def generate_camera_rays(
     """
     if n is None:
         n = width * height
-    idx = jnp.arange(n, dtype=jnp.int32) + pixel_offset
+    idx = (jnp.arange(n, dtype=jnp.int32) + pixel_offset
+           if pixel_idx is None else pixel_idx)
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
 

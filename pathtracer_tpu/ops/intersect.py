@@ -9,8 +9,11 @@ Replicates the device library in reference src/intersections.cu:
 
 All functions take Vec3-of-[N] ray SoA and return world-space hit distance t
 (t <= 0 encodes a miss, matching the reference's -1 convention) plus normals.
-The getPointOnRay epsilon (t - 1e-4, reference src/intersections.h:28-30) and
-the world-distance return convention are replicated exactly for image parity.
+The world-distance return convention is preserved, but computed directly as
+the world-ray parameter (unnormalized object-space directions) instead of the
+reference's normalize -> hit-point transform -> length() chain, and without
+the 1e-4 getPointOnRay backoff (intersections.h:28-30) — see the per-function
+docstrings for the algebra and why the difference is below image tolerance.
 
 The scene-level dispatch (reference computeIntersectionsNaive,
 src/pathtrace.cu:441-522) lives in `intersect_scene`: the geom loop unrolls
@@ -28,7 +31,6 @@ from ..scene.types import CUBE, MESH, SPHERE, SceneArrays
 from ..utils.vec import Vec3, mat4_apply
 
 FLT_MAX = jnp.float32(3.402823466e38)
-RAY_EPS = 1e-4  # getPointOnRay offset (intersections.h:28-30)
 BVH_STACK_SIZE = 64  # intersections.cu:165
 
 
@@ -39,10 +41,19 @@ def box_intersect(transform, inverse_transform, inv_transpose,
 
     Returns (t [N] world distance, normal Vec3); t<=0 on miss.
     Mirrors boxIntersectionTest (intersections.cu:3-57) including raw division
-    (inf on axis-parallel rays) and the inside-hit tmax fallback.
+    (inf on axis-parallel rays) and the inside-hit tmax fallback, with one
+    TPU-minded algebraic change: the object-space direction is NOT normalized,
+    so the slab parameter t is directly the world-ray parameter
+    (M(qo + qd·t) = o + d·t) and the reference's normalize + hit-point
+    transform + length() world-distance recompute (intersections.cu:8,49-52)
+    — an rsqrt, a mat4 apply, and a sqrt per geom per ray — all drop out. The
+    reference's 1e-4 object-space hit backoff (getPointOnRay,
+    intersections.h:28-30) is also dropped: t is exact; self-intersection is
+    prevented by SCATTER_EPS in the shader, and the difference (~1e-4·scale)
+    is far below Monte Carlo image tolerance.
     """
     qo = mat4_apply(inverse_transform, origin, 1.0)
-    qd = mat4_apply(inverse_transform, direction, 0.0).normalize()
+    qd = mat4_apply(inverse_transform, direction, 0.0)
 
     neg = FLT_MAX
     tmin = jnp.full_like(qo.x, -neg)
@@ -70,43 +81,48 @@ def box_intersect(transform, inverse_transform, inv_transpose,
 
     hit = jnp.logical_and(tmax >= tmin, tmax > 0.0)
     inside = tmin <= 0.0
-    t_obj = jnp.where(inside, tmax, tmin)
+    t_world = jnp.where(inside, tmax, tmin)  # world parameter directly
     n_obj = Vec3.where(inside, nmax, nmin)
 
-    p_obj = qo + qd * (t_obj - RAY_EPS)  # getPointOnRay
-    p_world = mat4_apply(transform, p_obj, 1.0)
     normal = mat4_apply(inv_transpose, n_obj, 0.0).normalize()
-    t_world = (origin - p_world).length()
     return jnp.where(hit, t_world, -1.0), normal
 
 
 def sphere_intersect(transform, inverse_transform, inv_transpose,
                      origin: Vec3, direction: Vec3
                      ) -> Tuple[jnp.ndarray, Vec3]:
-    """r=0.5 sphere for one geom against [N] rays (intersections.cu:59-113)."""
+    """r=0.5 sphere for one geom against [N] rays (intersections.cu:59-113).
+
+    Like box_intersect, the object-space direction is left unnormalized
+    (full quadratic a·t² + 2b·t + c = 0 instead of the reference's monic
+    form) so t is the world-ray parameter directly — no normalize, no
+    hit-point transform, no world-distance length() (intersections.cu:64,
+    104-108), no 1e-4 backoff.
+    """
     radius = 0.5
     ro = mat4_apply(inverse_transform, origin, 1.0)
-    rd = mat4_apply(inverse_transform, direction, 0.0).normalize()
+    rd = mat4_apply(inverse_transform, direction, 0.0)
 
-    v_dot_d = ro.dot(rd)
-    radicand = v_dot_d * v_dot_d - (ro.dot(ro) - radius * radius)
+    a = rd.dot(rd)
+    b = ro.dot(rd)
+    c = ro.dot(ro) - radius * radius
+    radicand = b * b - a * c
     has_root = radicand >= 0.0
     sq = jnp.sqrt(jnp.maximum(radicand, 0.0))
-    t1 = -v_dot_d + sq
-    t2 = -v_dot_d - sq
+    inv_a = 1.0 / a
+    t1 = (-b + sq) * inv_a
+    t2 = (-b - sq) * inv_a
 
     both_neg = jnp.logical_and(t1 < 0.0, t2 < 0.0)
     both_pos = jnp.logical_and(t1 > 0.0, t2 > 0.0)
-    t_obj = jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2))
+    t_world = jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2))
     outside = both_pos
     hit = jnp.logical_and(has_root, jnp.logical_not(both_neg))
 
-    p_obj = ro + rd * (t_obj - RAY_EPS)  # getPointOnRay
-    p_world = mat4_apply(transform, p_obj, 1.0)
+    p_obj = ro + rd * t_world
     normal = mat4_apply(inv_transpose, p_obj, 0.0).normalize()
     flip = jnp.where(outside, 1.0, -1.0)
     normal = normal * flip
-    t_world = (origin - p_world).length()
     return jnp.where(hit, t_world, -1.0), normal
 
 

@@ -231,6 +231,9 @@ def load_scene(path: str, orbit: bool = True,
     settings = RenderSettings(
         width=width,
         height=height,
+        any_glossy=any(m["has_reflective"] != 0.0 and m["has_refractive"] == 0.0
+                       for m in materials),
+        any_refractive=any(m["has_refractive"] != 0.0 for m in materials),
         trace_depth=int(cam_data["DEPTH"]),
         iterations=int(cam_data["ITERATIONS"]),
         image_name=str(cam_data.get("FILE", "render")),

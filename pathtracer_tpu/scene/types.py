@@ -153,6 +153,11 @@ class RenderSettings:
     sort_materials: bool = False  # COALESCED: material-key sort each bounce
     compact: bool = True         # STREAM_COMPACT: tile-granular work skipping
     compact_tile: int = 16384    # lanes per skippable tile (compact mode)
+    fast_rng: bool = True        # PCG hash streams (vs jax threefry); see ops/rng.py
+    # Material-table capability flags (set by the loader): BSDF branches no
+    # material can take are not built at trace time (ops/bsdf.py scatter_ray).
+    any_glossy: bool = True
+    any_refractive: bool = True
     use_bvh: bool = True
     look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)
     fovy_deg: float = 45.0

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--no-dof", action="store_true")
     ap.add_argument("--no-early-exit", action="store_true")
     ap.add_argument("--hdr", action="store_true", help="also save .hdr")
+    ap.add_argument("--engine", choices=("wavefront", "persistent"),
+                    default="wavefront",
+                    help="wavefront: masked fixed-pool bounce loop (fastest "
+                         "for closed scenes). persistent: rotating work-queue "
+                         "lanes (fastest for open scenes; identical images)")
     args = ap.parse_args()
 
     import dataclasses
@@ -56,8 +61,13 @@ def main():
           f"tris={scene.triangles.v0x.shape[0]}")
 
     t0 = time.perf_counter()
-    img = render(scene, settings, seed=args.seed, chunk=args.chunk,
-                 early_exit=not args.no_early_exit)
+    if args.engine == "persistent":
+        from pathtracer_tpu.engine.persistent import render_persistent
+        img = render_persistent(scene, settings, seed=args.seed,
+                                chunk=max(args.chunk, 32))
+    else:
+        img = render(scene, settings, seed=args.seed, chunk=args.chunk,
+                     early_exit=not args.no_early_exit)
     img.block_until_ready()
     dt = time.perf_counter() - t0
     n_rays = settings.pixel_count * settings.iterations

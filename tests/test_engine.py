@@ -136,3 +136,44 @@ def test_ray_survival_counts(cornell_small):
     assert (np.diff(counts) <= 0).all()
     # closed box: some rays survive to the depth limit, then all are done
     assert counts[-1] == 0 or settings.trace_depth > 4
+
+
+def test_persistent_engine_bitexact_vs_masked(cornell_small):
+    """The persistent engine's pixel-keyed RNG (decision_state) makes it draw
+    the SAME randoms per logical sample as the masked engine: images must
+    match exactly up to float accumulation order."""
+    from pathtracer_tpu.engine.persistent import render_persistent
+
+    scene, settings = cornell_small
+    img_p = np.asarray(render_persistent(scene, settings, iterations=12,
+                                         chunk=6))
+    img_m = np.asarray(render(scene, settings, iterations=12, chunk=6))
+    np.testing.assert_allclose(img_p, img_m, rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_mode_bitexact_vs_masked(cornell_small):
+    """With pixel-keyed fast RNG, the material-sorted mode draws identical
+    numbers for each path regardless of lane permutation: exact image match."""
+    scene, settings = cornell_small
+    s_sorted = _mode_settings(settings, sort_materials=True)
+    img_s = np.asarray(render(scene, s_sorted, iterations=6, chunk=3))
+    img_m = np.asarray(render(scene, settings, iterations=6, chunk=3))
+    np.testing.assert_allclose(img_s, img_m, rtol=1e-5, atol=1e-5)
+
+
+def test_persistent_resume_matches_oneshot(cornell_small):
+    """Chunked persistent rendering (state carried across chunks) must equal
+    a single chunk to the same spp."""
+    from pathtracer_tpu.engine.persistent import (fresh_lanes, pixel_stride,
+                                                  render_persistent_chunk)
+
+    scene, settings = cornell_small
+    stride = pixel_stride(settings.pixel_count)
+    s1 = fresh_lanes(settings)
+    s1 = render_persistent_chunk(scene, settings, s1, jnp.int32(8), 0, stride)
+    s2 = fresh_lanes(settings)
+    s2 = render_persistent_chunk(scene, settings, s2, jnp.int32(3), 0, stride)
+    s2 = render_persistent_chunk(scene, settings, s2, jnp.int32(8), 0, stride)
+    np.testing.assert_allclose(np.asarray(s1.accum.to_array()),
+                               np.asarray(s2.accum.to_array()),
+                               rtol=1e-5, atol=1e-5)
