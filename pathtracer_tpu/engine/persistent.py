@@ -161,7 +161,8 @@ def _step(scene: SceneArrays, settings: RenderSettings, seed: int,
 
     # --- one bounce for every live lane --------------------------------------
     t, normal, mat_id = intersect_scene(
-        scene, settings.geom_types, origin, direction)
+        scene, settings.geom_types, origin, direction,
+        bvh_impl=settings.bvh_impl)
     depth = settings.trace_depth - rb                     # per-lane depth
     u = rng.fast_uniforms_perlane(
         rng.decision_state(seed, assign, depth, pixel_g), 4)

@@ -111,7 +111,8 @@ def bounce_step(scene: SceneArrays, settings: RenderSettings,
     (pathtrace.cu:752-894 body). Lane == pixel; elementwise gather."""
     n = state.origin.x.shape[0]
     t, normal, mat_id = intersect_scene(
-        scene, settings.geom_types, state.origin, state.direction)
+        scene, settings.geom_types, state.origin, state.direction,
+        bvh_impl=settings.bvh_impl)
 
     u = irng.uniforms(depth, state.pixel, 4)
     origin, direction, color, rb = shade(
@@ -143,7 +144,8 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
     """
     n = state.origin.x.shape[0]
     t, normal, mat_id = intersect_scene(
-        scene, settings.geom_types, state.origin, state.direction)
+        scene, settings.geom_types, state.origin, state.direction,
+        bvh_impl=settings.bvh_impl)
 
     # kernSetKeys (pathtrace.cu:592-599): the key is the intersection's
     # materialId; misses keep the memset default 0 (pathtrace.cu:755).
@@ -195,7 +197,8 @@ def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
         def process(operands):
             s, img = operands
             t, normal, mat_id = intersect_scene(
-                scene, settings.geom_types, s.origin, s.direction)
+                scene, settings.geom_types, s.origin, s.direction,
+                bvh_impl=settings.bvh_impl)
             u = irng.uniforms(depth, s.pixel, 4, salt=k)
             origin, direction, color, rb = shade(
                 s.origin, s.direction, s.color, s.remaining_bounces,

@@ -1,0 +1,237 @@
+"""Pallas packet BVH traversal — the hot kernel of mesh intersection.
+
+Why this shape (all alternatives below were BUILT and MEASURED on TPU v5e):
+
+  * Per-lane pointer chasing is off the table. XLA lowers dynamic gathers
+    element-serially on this hardware: ~7.4 ns/element, i.e. a single
+    [640k] gather costs ~4.7 ms and one stackless-traversal step with 18
+    gathers costs 85 ms (measured; a d4 teapot frame would take minutes).
+    Mosaic refuses >2-D gathers, lane-dim dynamic slices crash the compiler,
+    and `take_along_axis(axis=1)` only gathers within a 128-lane row.
+
+  * What IS fast: scalar-indexed ROW loads from VMEM (`ref[pl.ds(i,1), :]`),
+    dynamic `pltpu.roll`, scalar while_loops, and (8,128) vector ALU.
+
+So the kernel traverses the BVH as a PACKET: each grid block owns a tile of
+rays (lane-parallel) and ONE scalar traversal state machine (the stackless
+ENTER/ADVANCE walk over parent/sibling links, same as ops/intersect.py). Per
+step it loads one node record with a scalar row load + roll-extract, tests
+the AABB against every ray in the block on the VPU, and descends if ANY ray
+wants the subtree. Leaf triangles are stored contiguously (scene/bvh.py
+max_leaf) and streamed the same way. Divergence costs the block the UNION of
+its rays' traversals, so callers should keep blocks spatially coherent
+(camera rays in pixel order already are). This mirrors classic CPU-SIMD
+packet tracing (Wald et al.) rather than the reference's per-thread stack
+walk (intersections.cu:167-213) — one scalar brain, 4096 SIMD bodies.
+
+Measured on the teapot scene (6320 tris, 800x800): primary rays (pixel-
+coherent blocks) intersect at reference-class speed (~17.7 ms/frame at d1);
+each DIFFUSE bounce adds ~280 ms because incoherent blocks' traversal unions
+saturate at the whole tree — the architectural price of a vector machine
+with no per-lane gather. Secondary-ray coherence scheduling (octant
+masking / bounce-local sorting) is the open optimization front.
+
+The kernel returns the TRUE closest hit (no reference pruning quirk: AABB
+masks here only gate work, never hit registration).
+
+Table layouts are produced by scene/types.py pack_bvh_tables: multiple
+records per 128-lane row because VMEM tiles are (8,128) and narrow tables
+would waste 16x the capacity (the alien mesh must fit: ~23k nodes + 46.6k
+triangles ≈ 5 MB packed).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import NODES_PER_FROW, NODES_PER_IROW, TRI_STRIDE, TRIS_PER_ROW
+from ..utils.vec import Vec3
+
+FLT_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts in the kernel
+BLOCK_ROWS = 32           # rays per block = BLOCK_ROWS * 128 (swept on TPU:
+#                           8/16/32 within 1%; unions saturate for incoherent
+#                           secondary rays, so bigger blocks amortize better)
+EPS = 1e-6
+
+
+def _extract(row, group: jnp.ndarray, stride: int):
+    """Pull record `group` (stride fields) out of a (1,128) row via dynamic
+    roll; returns a (1,128) vector whose lanes 0..stride-1 are the record."""
+    return pltpu.roll(row, -stride * group, 1)
+
+
+def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   t_ref, nx_ref, ny_ref, nz_ref, mat_ref):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    shape = ox.shape
+
+    t_min0 = jnp.full(shape, FLT_MAX)
+    zero = jnp.zeros(shape, jnp.float32)
+    mat0 = jnp.full(shape, -1, jnp.int32)
+
+    def tri_test(ti, carry):
+        """Test ONE triangle (scalar record) against all lanes."""
+        t_min, nx, ny, nz, mat = carry
+        trow = trisf_ref[pl.ds(ti // TRIS_PER_ROW, 1), :]
+        tv = _extract(trow, ti % TRIS_PER_ROW, TRI_STRIDE)
+        v0x, v0y, v0z = tv[0, 0], tv[0, 1], tv[0, 2]
+        e1x, e1y, e1z = tv[0, 3], tv[0, 4], tv[0, 5]
+        e2x, e2y, e2z = tv[0, 6], tv[0, 7], tv[0, 8]
+
+        # Moller-Trumbore, scalar triangle vs vector rays
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        parallel = jnp.abs(a) < EPS
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        valid = jnp.logical_and(
+            jnp.logical_not(parallel),
+            jnp.logical_and(
+                jnp.logical_and(u >= 0.0, u <= 1.0),
+                jnp.logical_and(jnp.logical_and(v >= 0.0, (u + v) <= 1.0),
+                                t >= EPS)))
+        upd = jnp.logical_and(valid, jnp.logical_and(t > 0.0, t < t_min))
+
+        # smooth normal of THIS triangle (scalar corners, vector u/v weights),
+        # flipped toward the ray (triangleIntersect, intersections.cu:155-160)
+        w = 1.0 - u - v
+        nnx = w * tv[0, 9] + u * tv[0, 12] + v * tv[0, 15]
+        nny = w * tv[0, 10] + u * tv[0, 13] + v * tv[0, 16]
+        nnz = w * tv[0, 11] + u * tv[0, 14] + v * tv[0, 17]
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
+        flip = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
+                         -inv_len, inv_len)
+        nnx, nny, nnz = nnx * flip, nny * flip, nnz * flip
+
+        t_min = jnp.where(upd, t, t_min)
+        nx = jnp.where(upd, nnx, nx)
+        ny = jnp.where(upd, nny, ny)
+        nz = jnp.where(upd, nnz, nz)
+        mat = jnp.where(upd, tv[0, 18].astype(jnp.int32), mat)
+        return t_min, nx, ny, nz, mat
+
+    ENTER, ADVANCE = jnp.int32(0), jnp.int32(1)
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, mode, t_min, nx, ny, nz, mat = c
+        frow = nodesf_ref[pl.ds(node // NODES_PER_FROW, 1), :]
+        fv = _extract(frow, node % NODES_PER_FROW, 8)
+        irow = nodesi_ref[pl.ds(node // NODES_PER_IROW, 1), :]
+        iv = _extract(irow, node % NODES_PER_IROW, 4)
+        tri_first, tri_count = iv[0, 0], iv[0, 1]
+        sib, par = iv[0, 2], iv[0, 3]
+
+        entering = mode == ENTER
+
+        # slab test: scalar box vs vector rays (aabbIntersect semantics)
+        tnx = (fv[0, 0] - ox) * inv_x
+        tfx = (fv[0, 3] - ox) * inv_x
+        tny = (fv[0, 1] - oy) * inv_y
+        tfy = (fv[0, 4] - oy) * inv_y
+        tnz = (fv[0, 2] - oz) * inv_z
+        tfz = (fv[0, 5] - oz) * inv_z
+        t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
+                                     jnp.minimum(tny, tfy)),
+                         jnp.minimum(tnz, tfz))
+        t1 = jnp.minimum(jnp.minimum(jnp.maximum(tnx, tfx),
+                                     jnp.maximum(tny, tfy)),
+                         jnp.maximum(tnz, tfz))
+        want = jnp.logical_and(t0 <= t1,
+                               jnp.logical_and(t1 > 0.0, t0 < t_min))
+        any_want = jnp.logical_and(
+            entering, jnp.sum(want.astype(jnp.int32)) > 0)
+
+        is_leaf = tri_count > 0
+
+        def do_leaf(carry):
+            def lbody(j, cc):
+                return tri_test(tri_first + j, cc)
+            return jax.lax.fori_loop(0, tri_count, lbody, carry)
+
+        t_min, nx, ny, nz, mat = jax.lax.cond(
+            jnp.logical_and(any_want, is_leaf), do_leaf, lambda cc: cc,
+            (t_min, nx, ny, nz, mat))
+
+        descend = jnp.logical_and(any_want, jnp.logical_not(is_leaf))
+        node_next = jnp.where(descend, node + 1,
+                              jnp.where(sib >= 0, sib, par))
+        mode_next = jnp.where(jnp.logical_or(descend, sib >= 0),
+                              ENTER, ADVANCE)
+        return node_next, mode_next, t_min, nx, ny, nz, mat
+
+    root = root_ref[0, 0]
+    _, _, t_min, nx, ny, nz, mat = jax.lax.while_loop(
+        cond, body, (root, ENTER, t_min0, zero, zero, zero, mat0))
+
+    missed = t_min >= FLT_MAX
+    t_ref[:] = jnp.where(missed, -1.0, t_min)
+    nx_ref[:] = nx
+    ny_ref[:] = ny
+    nz_ref[:] = nz
+    mat_ref[:] = jnp.where(missed, -1, mat)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mesh_intersect_packet(scene, root_node, origin: Vec3, direction: Vec3,
+                          interpret: bool = False):
+    """Packet-traversal mesh intersection over the whole ray pool.
+
+    Same contract as ops.intersect.mesh_intersect (t [N] / normal / mat, -1 on
+    miss) but TRUE closest-hit (no pruning quirk). Pads the pool to a multiple
+    of the block size.
+    """
+    n = origin.x.shape[0]
+    block = BLOCK_ROWS * 128
+    n_pad = ((n + block - 1) // block) * block
+
+    def prep(a, fill):
+        return jnp.pad(a, (0, n_pad - n),
+                       constant_values=fill).reshape(-1, 128)
+
+    ox, oy, oz = (prep(c, 0.0) for c in origin)
+    # pad directions with 1s: degenerate rays still traverse but harmlessly
+    dx, dy, dz = (prep(c, 1.0) for c in direction)
+    root = jnp.asarray(root_node, jnp.int32).reshape(1, 1)
+
+    rows = n_pad // 128
+    grid = rows // BLOCK_ROWS
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4 + [
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32)]
+    t, nx, ny, nz, mat = pl.pallas_call(
+        _packet_kernel,
+        grid=(grid,),
+        in_specs=[table_spec, table_spec, table_spec,
+                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec],
+        out_specs=[ray_spec] * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scene.bvh_packed_f, scene.bvh_packed_i, scene.tris_packed, root,
+      ox, oy, oz, dx, dy, dz)
+
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(t), Vec3(flat(nx), flat(ny), flat(nz)), flat(mat)

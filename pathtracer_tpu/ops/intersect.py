@@ -31,7 +31,6 @@ from ..scene.types import CUBE, MESH, SPHERE, SceneArrays
 from ..utils.vec import Vec3, mat4_apply
 
 FLT_MAX = jnp.float32(3.402823466e38)
-BVH_STACK_SIZE = 64  # intersections.cu:165
 
 
 def box_intersect(transform, inverse_transform, inv_transpose,
@@ -175,22 +174,65 @@ def triangle_intersect(v0: Vec3, v1: Vec3, v2: Vec3,
     return jnp.where(valid, t, -1.0), n
 
 
+def _triangle_t_uv(v0: Vec3, v1: Vec3, v2: Vec3, origin: Vec3,
+                   direction: Vec3):
+    """Möller-Trumbore hit test returning (t, u, v); t = -1 on miss.
+
+    The normal interpolation of triangleIntersect (intersections.cu:155-160)
+    is deferred: traversal only needs t to keep the closest hit, so the six
+    normal gathers + interpolation run ONCE per ray after the walk, on the
+    winning triangle (see mesh_intersect).
+    """
+    eps = 1e-6
+    e1 = v1 - v0
+    e2 = v2 - v0
+    h = direction.cross(e2)
+    a = e1.dot(h)
+    parallel = jnp.abs(a) < eps
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = origin - v0
+    u = f * s.dot(h)
+    q = s.cross(e1)
+    v = f * direction.dot(q)
+    t = f * e2.dot(q)
+
+    valid = jnp.logical_not(parallel)
+    valid = jnp.logical_and(valid, jnp.logical_and(u >= 0.0, u <= 1.0))
+    valid = jnp.logical_and(valid, jnp.logical_and(v >= 0.0, (u + v) <= 1.0))
+    valid = jnp.logical_and(valid, t >= eps)
+    return jnp.where(valid, t, -1.0), u, v
+
+
 def mesh_intersect(scene: SceneArrays, root_node: jnp.ndarray,
                    origin: Vec3, direction: Vec3
                    ) -> Tuple[jnp.ndarray, Vec3, jnp.ndarray]:
-    """Batched iterative BVH traversal (meshIntersectionTest,
-    intersections.cu:167-213).
+    """Batched STACKLESS BVH traversal (the TPU re-design of
+    meshIntersectionTest, intersections.cu:167-213).
 
-    Stack-based DFS with a fixed 64-deep per-ray stack, run as one batched
-    while_loop: every live lane pops/pushes its own stack each step; the loop
-    exits when all lanes are done. This is the correctness-reference (jnp)
-    traversal; the Pallas kernel in ops/bvh_pallas.py supersedes it for perf.
+    The reference walks an explicit per-thread stack. A per-lane stack on TPU
+    needs a scatter per push (stack.at[lane, sp].set), and XLA's TPU scatter
+    lowers element-serial (~16 ms per [640k] scatter, measured — it froze the
+    teapot scene entirely). Vector GATHERS from VMEM-resident tables are fast,
+    so the walk is reformulated as a gather-only state machine over
+    parent/sibling links (Hapala-style):
 
-    Replicated reference quirk: the `boxT >= tMin` prune (intersections.cu:188)
-    uses aabbIntersect's EXIT t when the ray origin is inside the node's box,
-    so a subtree containing a closer hit can occasionally be pruned once some
-    farther hit has set tMin. Kept bit-faithful for image parity (affects a
-    sub-percent fraction of inside-origin rays; see tests/test_intersect.py).
+      ENTER(n):   AABB test (+ leaf triangle test); hit interior -> ENTER
+                  left child (n+1, the flattened layout's invariant);
+                  otherwise -> ADVANCE(n).
+      ADVANCE(n): left child  -> ENTER(sibling[n]);
+                  right child -> ADVANCE(parent[n]); root -> done.
+
+    Per-lane state is three scalars (node, mode, done) instead of a 64-entry
+    stack; every memory access is a 1-D gather. All lanes step together; the
+    loop exits when every lane is done.
+
+    Replicated reference quirk: the `boxT >= tMin` prune (intersections.cu:
+    188) uses aabbIntersect's EXIT t when the ray origin is inside the node's
+    box, so a subtree containing a closer hit can occasionally be pruned once
+    some farther hit has set tMin. Kept for parity (affects a sub-percent
+    fraction of inside-origin rays; see tests/test_intersect.py). Visit ORDER
+    differs from the reference (left-first vs its pop-right-first), which can
+    flip which of two quirk-eligible hits survives — same tolerance class.
 
     Returns (t [N], normal Vec3, material_id [N]); t = -1 on miss.
     """
@@ -199,76 +241,94 @@ def mesh_intersect(scene: SceneArrays, root_node: jnp.ndarray,
     tris = scene.triangles
     inv_dir = 1.0 / direction
 
-    stack0 = jnp.zeros((n, BVH_STACK_SIZE), dtype=jnp.int32)
-    stack0 = stack0.at[:, 0].set(jnp.broadcast_to(root_node, (n,)))
-    sp0 = jnp.ones((n,), dtype=jnp.int32)
-    t_min0 = jnp.full((n,), FLT_MAX)
-    normal0 = Vec3.zeros((n,))
-    mat0 = jnp.full((n,), -1, dtype=jnp.int32)
+    max_leaf = 8  # static unroll bound for leaf triangle tests
 
-    def cond(state):
-        _, sp, _, _, _ = state
-        return jnp.any(sp > 0)
+    ENTER, ADVANCE = jnp.int32(0), jnp.int32(1)
+    node0 = jnp.broadcast_to(root_node, (n,)).astype(jnp.int32)
+    state0 = (node0, jnp.full((n,), ENTER), jnp.zeros((n,), bool),
+              jnp.full((n,), FLT_MAX), jnp.full((n,), -1, jnp.int32),
+              jnp.zeros((n,)), jnp.zeros((n,)))
 
-    def body(state):
-        stack, sp, t_min, normal, mat = state
-        live = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        idx = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
-        sp_new = jnp.where(live, sp - 1, sp)
+    def cond(s):
+        return jnp.logical_not(jnp.all(s[2]))
 
-        bmin = Vec3(bvh.min_x[idx], bvh.min_y[idx], bvh.min_z[idx])
-        bmax = Vec3(bvh.max_x[idx], bvh.max_y[idx], bvh.max_z[idx])
-        tri_idx = bvh.tri_idx[idx]
-        second = bvh.second_child[idx]
+    def body(s):
+        node, mode, done, t_min, best_tri, best_u, best_v = s
 
+        bmin = Vec3(bvh.min_x[node], bvh.min_y[node], bvh.min_z[node])
+        bmax = Vec3(bvh.max_x[node], bvh.max_y[node], bvh.max_z[node])
+        tri_first = bvh.tri_first[node]
+        tri_count = bvh.tri_count[node]
+        sib = bvh.sibling[node]
+        par = bvh.parent[node]
+
+        entering = jnp.logical_and(mode == ENTER, jnp.logical_not(done))
         box_t = aabb_intersect(bmin, bmax, origin, inv_dir)
-        visit = jnp.logical_and(live,
-                                jnp.logical_and(box_t >= 0.0, box_t < t_min))
+        visit = jnp.logical_and(
+            entering, jnp.logical_and(box_t >= 0.0, box_t < t_min))
 
-        is_leaf = tri_idx >= 0
-        ti = jnp.maximum(tri_idx, 0)
-        t_tri, n_tri = triangle_intersect(
-            tris.vertex("v0", ti), tris.vertex("v1", ti), tris.vertex("v2", ti),
-            tris.vertex("n0", ti), tris.vertex("n1", ti), tris.vertex("n2", ti),
-            origin, direction)
-        closer = jnp.logical_and(t_tri > 0.0, t_tri < t_min)
-        upd = jnp.logical_and(visit, jnp.logical_and(is_leaf, closer))
-        t_min = jnp.where(upd, t_tri, t_min)
-        normal = Vec3.where(upd, n_tri, normal)
-        mat = jnp.where(upd, tris.material_id[ti], mat)
+        is_leaf = tri_count > 0
+        # Leaf: up to max_leaf contiguous triangles, unrolled (tri j masked by
+        # j < tri_count); contiguous indices keep the gathers coherent.
+        for j in range(max_leaf):
+            ti = jnp.maximum(tri_first, 0) + j
+            ti = jnp.minimum(ti, tris.v0x.shape[0] - 1)
+            t_tri, u, v = _triangle_t_uv(
+                tris.vertex("v0", ti), tris.vertex("v1", ti),
+                tris.vertex("v2", ti), origin, direction)
+            upd = jnp.logical_and(
+                visit,
+                jnp.logical_and(
+                    jnp.logical_and(is_leaf, j < tri_count),
+                    jnp.logical_and(t_tri > 0.0, t_tri < t_min)))
+            t_min = jnp.where(upd, t_tri, t_min)
+            best_tri = jnp.where(upd, ti, best_tri)
+            best_u = jnp.where(upd, u, best_u)
+            best_v = jnp.where(upd, v, best_v)
 
-        # Interior: push idx+1 and second_child (silently dropped when the
-        # stack is full, matching intersections.cu:201-204)
-        push = jnp.logical_and(
-            visit,
-            jnp.logical_and(jnp.logical_not(is_leaf),
-                            sp_new + 1 < BVH_STACK_SIZE))
-        slot0 = jnp.minimum(sp_new, BVH_STACK_SIZE - 1)
-        slot1 = jnp.minimum(sp_new + 1, BVH_STACK_SIZE - 1)
-        lane = jnp.arange(n, dtype=jnp.int32)
-        cur0 = stack[lane, slot0]
-        cur1 = stack[lane, slot1]
-        stack = stack.at[lane, slot0].set(jnp.where(push, idx + 1, cur0))
-        stack = stack.at[lane, slot1].set(jnp.where(push, second, cur1))
-        sp_new = jnp.where(push, sp_new + 2, sp_new)
+        descend = jnp.logical_and(visit, jnp.logical_not(is_leaf))
+        has_sib = sib >= 0
+        at_root = par < 0
+        # ENTER lanes that don't descend behave like ADVANCE(node) this step.
+        next_node = jnp.where(descend, node + 1,
+                              jnp.where(has_sib, sib, jnp.maximum(par, 0)))
+        next_mode = jnp.where(jnp.logical_or(descend, has_sib), ENTER, ADVANCE)
+        finished = jnp.logical_and(jnp.logical_not(descend),
+                                   jnp.logical_and(jnp.logical_not(has_sib),
+                                                   at_root))
+        done = jnp.logical_or(done, finished)
+        node = jnp.where(done, node, next_node)
+        mode = jnp.where(done, mode, next_mode)
+        return node, mode, done, t_min, best_tri, best_u, best_v
 
-        return stack, sp_new, t_min, normal, mat
+    _, _, _, t_min, best_tri, best_u, best_v = jax.lax.while_loop(
+        cond, body, state0)
 
-    _, _, t_min, normal, mat = jax.lax.while_loop(
-        cond, body, (stack0, sp0, t_min0, normal0, mat0))
-    missed = t_min >= FLT_MAX
-    return jnp.where(missed, -1.0, t_min), normal, mat
+    # Winning triangle's smooth normal, fetched once per ray after the walk
+    # (triangleIntersect's interpolation, intersections.cu:155-160).
+    ti = jnp.maximum(best_tri, 0)
+    w = 1.0 - best_u - best_v
+    nrm = (tris.vertex("n0", ti) * w + tris.vertex("n1", ti) * best_u
+           + tris.vertex("n2", ti) * best_v).normalize()
+    flip = jnp.where(direction.dot(nrm) > 0.0, -1.0, 1.0)
+    nrm = nrm * flip
+
+    hit = jnp.logical_and(best_tri >= 0, t_min < FLT_MAX)
+    mat = jnp.where(hit, tris.material_id[ti], -1)
+    return jnp.where(hit, t_min, -1.0), nrm, mat
 
 
 def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
-                    origin: Vec3, direction: Vec3
+                    origin: Vec3, direction: Vec3,
+                    bvh_impl: str = "pallas"
                     ) -> Tuple[jnp.ndarray, Vec3, jnp.ndarray]:
     """Closest-hit over all geoms (computeIntersectionsNaive,
     pathtrace.cu:441-522).
 
     `geom_types` is the static per-geom type tuple (from RenderSettings), so
-    the geom loop unrolls at trace time.
+    the geom loop unrolls at trace time. `bvh_impl` picks the mesh traversal:
+    "pallas" = packet kernel (ops/bvh_pallas.py, the fast path; interpreted
+    off-TPU), "jnp" = per-ray stackless walk (reference-semantics testing).
 
     Returns (t [N] > 0 on hit else -1, normal Vec3, material_id [N]).
     """
@@ -280,8 +340,14 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
 
     for i, gt in enumerate(geom_types):
         if gt == MESH:
-            t, nrm, mat = mesh_intersect(
-                scene, scene.geoms.root_node[i], origin, direction)
+            if bvh_impl == "pallas":
+                from .bvh_pallas import mesh_intersect_packet
+                t, nrm, mat = mesh_intersect_packet(
+                    scene, scene.geoms.root_node[i], origin, direction,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                t, nrm, mat = mesh_intersect(
+                    scene, scene.geoms.root_node[i], origin, direction)
         else:
             fn = sphere_intersect if gt == SPHERE else box_intersect
             t, nrm = fn(scene.geoms.transform[i],

@@ -1,18 +1,24 @@
 """Host-side SAH BVH build, emitted directly in flattened DFS-preorder layout.
 
 Algorithm replicates reference src/bvhnode.cpp:
-  - leaf = exactly one triangle (bvhnode.cpp:165-169)
   - split axis = maximum extent of the NODE bounds (not centroid bounds)
     (bvhnode.cpp:172 via BVHBounds::maximumExtent, :38-50)
   - 12-bucket SAH over centroid offsets with cost
     0.125 + (N_l*SA_l + N_r*SA_r) / SA_parent (bvhnode.cpp:93-146)
   - degenerate splits fall back to the median (bvhnode.cpp:141-144,178-180)
   - flattened layout: DFS preorder; left child at i+1; right child offset
-    stored; leaf stores index into DFS-ordered triangle array
-    (bvhnode.cpp:243-268)
+    stored; leaf stores a contiguous range into the DFS-ordered triangle
+    array (bvhnode.cpp:243-268)
 
-The builder is vectorized NumPy over per-triangle precomputed bounds/centroids;
-a native C++ builder (same layout) can be swapped in for very large meshes.
+Two deliberate departures from the reference (bvhnode.cpp:165-169 uses
+exactly one triangle per leaf):
+  - `max_leaf` triangles per leaf (default 4). Leaf triangles are contiguous
+    in the reordered array, which the Pallas packet-traversal kernel
+    (ops/bvh_pallas.py) streams without per-lane gathers; fewer, fatter
+    leaves also shorten the walk. max_leaf=1 reproduces the reference shape.
+  - parent/sibling links for the stackless walk (ops/intersect.py).
+
+The builder is vectorized NumPy over per-triangle precomputed bounds/centroids.
 """
 from __future__ import annotations
 
@@ -24,34 +30,34 @@ import numpy as np
 N_BUCKETS = 12
 
 
-def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True
+def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True,
+              max_leaf: int = 4
               ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Build a flattened BVH for one mesh.
 
     Args:
       tris: triangle SoA dict with v0,v1,v2,n0,n1,n2 [T,3] and material_id [T].
       use_sah: SAH bucket split (reference USE_SAH 1); else median split.
+      max_leaf: max triangles per leaf (1 = reference layout).
 
     Returns:
       (nodes, reordered_tris): nodes dict with bounds_min/bounds_max [N,3],
-      tri_idx [N], second_child [N]; triangles reordered to DFS leaf order.
-      N == 2*T - 1.
+      tri_first [N] (-1 interior), tri_count [N] (0 interior), second_child,
+      parent, sibling [N]; triangles reordered to DFS leaf order.
     """
     T = tris["v0"].shape[0]
     assert T > 0, "empty mesh"
-    v0, v1, v2 = tris["v0"].astype(np.float64), tris["v1"].astype(np.float64), tris["v2"].astype(np.float64)
+    v0 = tris["v0"].astype(np.float64)
+    v1 = tris["v1"].astype(np.float64)
+    v2 = tris["v2"].astype(np.float64)
     tri_min = np.minimum(np.minimum(v0, v1), v2)          # [T,3]
     tri_max = np.maximum(np.maximum(v0, v1), v2)          # [T,3]
     centroid = (v0 + v1 + v2) / 3.0                        # [T,3]
 
-    n_nodes = 2 * T - 1
-    bounds_min = np.zeros((n_nodes, 3), dtype=np.float32)
-    bounds_max = np.zeros((n_nodes, 3), dtype=np.float32)
-    tri_idx = np.full((n_nodes,), -1, dtype=np.int32)
-    second_child = np.zeros((n_nodes,), dtype=np.int32)
-    leaf_order = np.zeros((T,), dtype=np.int64)
-
-    state = {"node": 0, "leaf": 0}
+    bounds_min, bounds_max = [], []
+    tri_first, tri_count = [], []
+    second_child, parent, sibling = [], [], []
+    leaf_order = []
 
     def surface_area(mn, mx):
         d = mx - mn
@@ -60,20 +66,27 @@ def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 100000))
 
+    def emit(mn, mx):
+        my = len(bounds_min)
+        bounds_min.append(mn)
+        bounds_max.append(mx)
+        tri_first.append(-1)
+        tri_count.append(0)
+        second_child.append(0)
+        parent.append(-1)
+        sibling.append(-1)
+        return my
+
     def build(idx: np.ndarray) -> int:
         """Emit node for triangle subset `idx`; return its node index."""
-        my = state["node"]
-        state["node"] += 1
         mn = tri_min[idx].min(axis=0)
         mx = tri_max[idx].max(axis=0)
-        bounds_min[my] = mn
-        bounds_max[my] = mx
+        my = emit(mn.astype(np.float32), mx.astype(np.float32))
 
-        if idx.shape[0] == 1:
-            slot = state["leaf"]
-            state["leaf"] += 1
-            leaf_order[slot] = idx[0]
-            tri_idx[my] = slot
+        if idx.shape[0] <= max_leaf:
+            tri_first[my] = len(leaf_order)
+            tri_count[my] = idx.shape[0]
+            leaf_order.extend(idx.tolist())
             return my
 
         axis = int(np.argmax(np.abs(mx - mn)))
@@ -85,7 +98,6 @@ def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True
             # Bucket assignment (bvhnode.cpp:102-107)
             b = (N_BUCKETS * (c - cmin) / (cmax - cmin)).astype(np.int64)
             b = np.minimum(b, N_BUCKETS - 1)
-            # Per-bucket counts and bounds
             costs = np.empty(N_BUCKETS - 1)
             sa_parent = surface_area(mn, mx)
             bmins = np.full((N_BUCKETS, 3), np.inf)
@@ -106,8 +118,10 @@ def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True
             suf_cnt = np.cumsum(counts[::-1])[::-1]
             for i in range(N_BUCKETS - 1):
                 sa0 = surface_area(pre_min[i], pre_max[i]) if pre_cnt[i] else 0.0
-                sa1 = surface_area(suf_min[i + 1], suf_max[i + 1]) if suf_cnt[i + 1] else 0.0
-                costs[i] = 0.125 + (pre_cnt[i] * sa0 + suf_cnt[i + 1] * sa1) / sa_parent
+                sa1 = (surface_area(suf_min[i + 1], suf_max[i + 1])
+                       if suf_cnt[i + 1] else 0.0)
+                costs[i] = 0.125 + (pre_cnt[i] * sa0
+                                    + suf_cnt[i + 1] * sa1) / sa_parent
             split_bucket = int(np.argmin(costs))
             left_sel = b <= split_bucket
             nl = int(left_sel.sum())
@@ -124,20 +138,28 @@ def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True
             left_idx = idx[order[:midn]]
             right_idx = idx[order[midn:]]
 
-        build(left_idx)                      # left child lands at my+1
-        second_child[my] = build(right_idx)  # right child offset
+        left = build(left_idx)                # lands at my+1
+        right = build(right_idx)
+        second_child[my] = right
+        parent[left] = my
+        parent[right] = my
+        sibling[left] = right
         return my
 
     build(np.arange(T, dtype=np.int64))
     sys.setrecursionlimit(old_limit)
-    assert state["node"] == n_nodes and state["leaf"] == T
+    assert len(leaf_order) == T
 
     nodes = {
-        "bounds_min": bounds_min,
-        "bounds_max": bounds_max,
-        "tri_idx": tri_idx,
-        "second_child": second_child,
+        "bounds_min": np.asarray(bounds_min, dtype=np.float32),
+        "bounds_max": np.asarray(bounds_max, dtype=np.float32),
+        "tri_first": np.asarray(tri_first, dtype=np.int32),
+        "tri_count": np.asarray(tri_count, dtype=np.int32),
+        "second_child": np.asarray(second_child, dtype=np.int32),
+        "parent": np.asarray(parent, dtype=np.int32),
+        "sibling": np.asarray(sibling, dtype=np.int32),
     }
-    reordered = {k: tris[k][leaf_order] for k in
+    lo = np.asarray(leaf_order, dtype=np.int64)
+    reordered = {k: tris[k][lo] for k in
                  ("v0", "v1", "v2", "n0", "n1", "n2", "material_id")}
     return nodes, reordered

@@ -129,7 +129,8 @@ def orbit_camera(cam: dict, zoom: float, theta: float, phi: float,
 
 
 def load_scene(path: str, orbit: bool = True,
-               overrides: Optional[dict] = None
+               overrides: Optional[dict] = None,
+               max_leaf: int = 8
                ) -> Tuple[SceneArrays, RenderSettings]:
     """Load a scene JSON; returns (device arrays, static settings).
 
@@ -149,7 +150,9 @@ def load_scene(path: str, orbit: bool = True,
     scene_dir = os.path.dirname(os.path.abspath(path))
 
     geoms = []
-    all_nodes = {"bounds_min": [], "bounds_max": [], "tri_idx": [], "second_child": []}
+    all_nodes = {"bounds_min": [], "bounds_max": [], "tri_first": [],
+                 "tri_count": [], "second_child": [], "parent": [],
+                 "sibling": []}
     all_tris = {k: [] for k in ("v0", "v1", "v2", "n0", "n1", "n2", "material_id")}
     node_count = 0
     tri_count = 0
@@ -178,17 +181,24 @@ def load_scene(path: str, orbit: bool = True,
             scal = p.get("SCALE", (1.0, 1.0, 1.0))
             tris = obj_loader.load_obj(resolved, override_id, trans, rotat, scal,
                                        materials)
-            nodes, reordered = build_bvh(tris)
+            nodes, reordered = build_bvh(tris, max_leaf=max_leaf)
             # Global offset fix-up (scene.cpp:178-189)
-            n_new = nodes["tri_idx"].shape[0]
-            fixed_tri = np.where(nodes["tri_idx"] >= 0,
-                                 nodes["tri_idx"] + tri_count, -1)
-            fixed_sc = np.where(nodes["tri_idx"] >= 0, nodes["second_child"],
+            n_new = nodes["tri_first"].shape[0]
+            is_leaf = nodes["tri_count"] > 0
+            fixed_tri = np.where(is_leaf, nodes["tri_first"] + tri_count, -1)
+            fixed_sc = np.where(is_leaf, nodes["second_child"],
                                 nodes["second_child"] + node_count)
+            fixed_par = np.where(nodes["parent"] >= 0,
+                                 nodes["parent"] + node_count, -1)
+            fixed_sib = np.where(nodes["sibling"] >= 0,
+                                 nodes["sibling"] + node_count, -1)
             all_nodes["bounds_min"].append(nodes["bounds_min"])
             all_nodes["bounds_max"].append(nodes["bounds_max"])
-            all_nodes["tri_idx"].append(fixed_tri.astype(np.int32))
+            all_nodes["tri_first"].append(fixed_tri.astype(np.int32))
+            all_nodes["tri_count"].append(nodes["tri_count"].astype(np.int32))
             all_nodes["second_child"].append(fixed_sc.astype(np.int32))
+            all_nodes["parent"].append(fixed_par.astype(np.int32))
+            all_nodes["sibling"].append(fixed_sib.astype(np.int32))
             for k in all_tris:
                 all_tris[k].append(reordered[k])
             geoms.append({

@@ -61,9 +61,9 @@ class BVHArrays(NamedTuple):
     """SoA of reference `LinearBVHNode` (sceneStructs.h:55-59).
 
     Depth-first layout: node i's left child is i+1; right child at
-    `second_child[i]`. Leaf iff tri_idx[i] >= 0 (exactly one triangle/leaf).
-    Bounds are fully component-split ([N] per component) so per-ray traversal
-    gathers are contiguous 1-D gathers on TPU.
+    `second_child[i]`. Leaf iff tri_count[i] > 0 (up to max_leaf contiguous
+    triangles per leaf — see scene/bvh.py). Bounds are fully component-split
+    ([N] per component); parent/sibling links drive the stackless walk.
     """
 
     min_x: jnp.ndarray  # [N] f32
@@ -72,8 +72,71 @@ class BVHArrays(NamedTuple):
     max_x: jnp.ndarray
     max_y: jnp.ndarray
     max_z: jnp.ndarray
-    tri_idx: jnp.ndarray       # [N] int32, -1 for interior
+    tri_first: jnp.ndarray     # [N] int32, -1 for interior
+    tri_count: jnp.ndarray     # [N] int32, 0 for interior
     second_child: jnp.ndarray  # [N] int32
+    parent: jnp.ndarray        # [N] int32, -1 at root (stackless traversal)
+    sibling: jnp.ndarray       # [N] int32, right sibling of a left child
+
+
+NODES_PER_FROW = 16   # 16 nodes x 8 f32 fields = 128 lanes
+NODES_PER_IROW = 32   # 32 nodes x 4 i32 fields = 128 lanes
+TRIS_PER_ROW = 6      # 6 tris x 20 f32 fields = 120 lanes (+8 pad)
+TRI_STRIDE = 20
+
+
+def pack_bvh_tables(nodes: dict, tris: dict):
+    """Pack BVH + triangles into 128-lane rows for the Pallas packet kernel.
+
+    VMEM tiles are (8, 128): narrow [N, F] tables would waste 128/F lanes, so
+    multiple records share a row and the kernel extracts one with a dynamic
+    pltpu.roll (ops/bvh_pallas.py). Layouts:
+      nodes_f [ceil(Nn/16), 128] f32: per node 8 fields
+          (min_x,min_y,min_z,max_x,max_y,max_z, pad, pad)
+      nodes_i [ceil(Nn/32), 128] i32: per node 4 fields
+          (tri_first, tri_count, sibling, parent)
+      tris_f  [ceil(Nt/6), 128] f32: per tri 20 fields
+          (v0, e1, e2, n0, n1, n2, material_id, pad)
+    """
+    nn = nodes["tri_first"].shape[0]
+    f = np.zeros((nn, 8), np.float32)
+    f[:, 0:3] = nodes["bounds_min"]
+    f[:, 3:6] = nodes["bounds_max"]
+    rows_f = -(-nn // NODES_PER_FROW)
+    packed_f = np.zeros((rows_f * NODES_PER_FROW, 8), np.float32)
+    packed_f[:nn] = f
+    packed_f = packed_f.reshape(rows_f, 128)
+
+    i = np.zeros((nn, 4), np.int32)
+    i[:, 0] = nodes["tri_first"]
+    i[:, 1] = nodes["tri_count"]
+    i[:, 2] = nodes["sibling"]
+    i[:, 3] = nodes["parent"]
+    rows_i = -(-nn // NODES_PER_IROW)
+    packed_i = np.zeros((rows_i * NODES_PER_IROW, 4), np.int32)
+    packed_i[:nn] = i
+    # padding nodes must terminate a walk instantly if ever visited
+    packed_i[nn:, 2] = -1
+    packed_i[nn:, 3] = -1
+    packed_i = packed_i.reshape(rows_i, 128)
+
+    nt = tris["v0"].shape[0]
+    t = np.zeros((nt, TRI_STRIDE), np.float32)
+    t[:, 0:3] = tris["v0"]
+    t[:, 3:6] = tris["v1"] - tris["v0"]   # e1, precomputed
+    t[:, 6:9] = tris["v2"] - tris["v0"]   # e2
+    t[:, 9:12] = tris["n0"]
+    t[:, 12:15] = tris["n1"]
+    t[:, 15:18] = tris["n2"]
+    t[:, 18] = tris["material_id"].astype(np.float32)
+    rows_t = -(-nt // TRIS_PER_ROW)
+    packed_t = np.zeros((rows_t, 128), np.float32)
+    flat = np.zeros((rows_t * TRIS_PER_ROW, TRI_STRIDE), np.float32)
+    flat[:nt] = t
+    packed_t[:, :TRIS_PER_ROW * TRI_STRIDE] = flat.reshape(
+        rows_t, TRIS_PER_ROW * TRI_STRIDE)
+    return (jnp.asarray(packed_f), jnp.asarray(packed_i),
+            jnp.asarray(packed_t))
 
 
 class TriangleArrays(NamedTuple):
@@ -133,6 +196,11 @@ class SceneArrays(NamedTuple):
     bvh: BVHArrays
     triangles: TriangleArrays
     camera: CameraArrays
+    # Row-packed tables for the Pallas packet-traversal kernel (see
+    # pack_bvh_tables); duplicate the bvh/triangles content in kernel layout.
+    bvh_packed_f: jnp.ndarray  # [Rf, 128] f32
+    bvh_packed_i: jnp.ndarray  # [Ri, 128] i32
+    tris_packed: jnp.ndarray   # [Rt, 128] f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,6 +227,7 @@ class RenderSettings:
     any_glossy: bool = True
     any_refractive: bool = True
     use_bvh: bool = True
+    bvh_impl: str = "pallas"   # mesh traversal: Pallas packet kernel or "jnp"
     look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)
     fovy_deg: float = 45.0
     # Static per-geom type tuple (SPHERE/CUBE/MESH): lets the trace-time geom
@@ -225,11 +294,17 @@ def make_scene_arrays(
             min_x=jnp.full((1,), inf, F32), min_y=jnp.full((1,), inf, F32),
             min_z=jnp.full((1,), inf, F32), max_x=jnp.full((1,), -inf, F32),
             max_y=jnp.full((1,), -inf, F32), max_z=jnp.full((1,), -inf, F32),
-            tri_idx=jnp.zeros((1,), dtype=I32),
+            tri_first=jnp.full((1,), -1, I32),
+            tri_count=jnp.zeros((1,), dtype=I32),
             second_child=jnp.zeros((1,), dtype=I32),
+            parent=jnp.full((1,), -1, I32),
+            sibling=jnp.full((1,), -1, I32),
         )
         z1 = jnp.zeros((1,), F32)
         tris = TriangleArrays(*([z1] * 18), material_id=jnp.zeros((1,), I32))
+        packed_f = jnp.zeros((1, 128), F32)
+        packed_i = jnp.full((1, 128), -1, I32)
+        packed_t = jnp.zeros((1, 128), F32)
     else:
         bmin = np.asarray(bvh_nodes["bounds_min"], dtype=np.float32)
         bmax = np.asarray(bvh_nodes["bounds_max"], dtype=np.float32)
@@ -237,9 +312,17 @@ def make_scene_arrays(
             min_x=jnp.asarray(bmin[:, 0]), min_y=jnp.asarray(bmin[:, 1]),
             min_z=jnp.asarray(bmin[:, 2]), max_x=jnp.asarray(bmax[:, 0]),
             max_y=jnp.asarray(bmax[:, 1]), max_z=jnp.asarray(bmax[:, 2]),
-            tri_idx=jnp.asarray(bvh_nodes["tri_idx"], dtype=I32),
+            tri_first=jnp.asarray(bvh_nodes["tri_first"], dtype=I32),
+            tri_count=jnp.asarray(bvh_nodes["tri_count"], dtype=I32),
             second_child=jnp.asarray(bvh_nodes["second_child"], dtype=I32),
+            parent=jnp.asarray(bvh_nodes["parent"], dtype=I32),
+            sibling=jnp.asarray(bvh_nodes["sibling"], dtype=I32),
         )
+        tri_dict = {k: np.asarray(bvh_tris[k], dtype=np.float32)
+                    for k in ("v0", "v1", "v2", "n0", "n1", "n2")}
+        tri_dict["material_id"] = np.asarray(bvh_tris["material_id"],
+                                             dtype=np.int32)
+        packed_f, packed_i, packed_t = pack_bvh_tables(bvh_nodes, tri_dict)
         comps = []
         for name in ("v0", "v1", "v2", "n0", "n1", "n2"):
             arr = np.asarray(bvh_tris[name], dtype=np.float32)
@@ -258,4 +341,6 @@ def make_scene_arrays(
         focal_distance=jnp.asarray(camera["focal_distance"], dtype=F32),
     )
     return SceneArrays(geoms=geoms, materials=materials, bvh=bvh,
-                       triangles=tris, camera=cam)
+                       triangles=tris, camera=cam,
+                       bvh_packed_f=packed_f, bvh_packed_i=packed_i,
+                       tris_packed=packed_t)

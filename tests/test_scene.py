@@ -108,5 +108,5 @@ def test_teapot_mesh_loads():
     assert MESH in settings.geom_types
     n_tris = scene.triangles.v0x.shape[0]
     assert n_tris == 6320  # BASELINE.md teapot triangle count
-    n_nodes = scene.bvh.tri_idx.shape[0]
-    assert n_nodes == 2 * n_tris - 1
+    leaf = np.asarray(scene.bvh.tri_count) > 0
+    assert np.asarray(scene.bvh.tri_count)[leaf].sum() == n_tris
