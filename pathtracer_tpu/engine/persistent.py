@@ -169,7 +169,8 @@ def _step(scene: SceneArrays, settings: RenderSettings, seed: int,
     origin, direction, color, rb = shade(
         origin, direction, color, rb, t, normal, mat_id, scene.materials, u,
         any_glossy=settings.any_glossy,
-        any_refractive=settings.any_refractive)
+        any_refractive=settings.any_refractive,
+        depth_quirk=settings.depth_quirk)
 
     # --- bank finished samples into their round's lane-space buffer ----------
     done = rb == 0

@@ -119,7 +119,8 @@ def bounce_step(scene: SceneArrays, settings: RenderSettings,
         state.origin, state.direction, state.color, state.remaining_bounces,
         t, normal, mat_id, scene.materials, u,
         any_glossy=settings.any_glossy,
-        any_refractive=settings.any_refractive)
+        any_refractive=settings.any_refractive,
+        depth_quirk=settings.depth_quirk)
 
     # gatherImage: add lanes whose remaining_bounces just reached 0, then mark
     # them gathered (-1) so they are skipped and never double-added
@@ -158,7 +159,8 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
         state.origin, state.direction, state.color, state.remaining_bounces,
         t, normal, mat_id, scene.materials, u,
         any_glossy=settings.any_glossy,
-        any_refractive=settings.any_refractive)
+        any_refractive=settings.any_refractive,
+        depth_quirk=settings.depth_quirk)
 
     newly_done = rb == 0
     contrib = Vec3.where(newly_done, color, Vec3.zeros((n,)))
@@ -204,7 +206,8 @@ def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
                 s.origin, s.direction, s.color, s.remaining_bounces,
                 t, normal, mat_id, scene.materials, u,
                 any_glossy=settings.any_glossy,
-                any_refractive=settings.any_refractive)
+                any_refractive=settings.any_refractive,
+        depth_quirk=settings.depth_quirk)
             newly_done = rb == 0
             img = img + Vec3.where(newly_done, color, Vec3.zeros((tile,)))
             rb = jnp.where(newly_done, -1, rb)

@@ -1,13 +1,13 @@
 """BSDF sampling and the uber-shader, vectorized as select trees (Vec3 SoA).
 
 Replicates reference src/interactions.cu (scatterRay and helpers) and the
-uber shading kernel shadeRealMaterial (src/pathtrace.cu:524-571), including the
-reference's exact termination semantics (SURVEY.md §3.2):
+uber shading kernel shadeRealMaterial (src/pathtrace.cu:524-571). Termination:
   (a) hit emitter  -> color *= albedo*emittance, terminate
   (b) miss         -> color = background black, terminate
-  (c) depth exhausted (remaining_bounces decremented to 0 by scatter) ->
-      the raw throughput is later accumulated as-is (gatherImage quirk,
-      pathtrace.cu:574-589)
+  (c) depth exhausted -> contributes NOTHING by default (textbook; matches
+      the reference's checked-in golden render). The CURRENT reference code
+      instead accumulates the raw throughput (gatherImage quirk,
+      pathtrace.cu:574-589, SURVEY.md §3.2c) — opt in via depth_quirk.
 
 All branches are computed for every lane and combined with selects — the
 TPU-idiomatic form of the reference's warp-divergent uber-kernel. Sampling is
@@ -218,7 +218,8 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
           remaining_bounces: jnp.ndarray,
           t: jnp.ndarray, normal: Vec3, mat_id: jnp.ndarray,
           materials: MaterialArrays, uniforms: jnp.ndarray,
-          any_glossy: bool = True, any_refractive: bool = True):
+          any_glossy: bool = True, any_refractive: bool = True,
+          depth_quirk: bool = False):
     """Vectorized shadeRealMaterial (pathtrace.cu:524-571).
 
     Args:
@@ -228,6 +229,14 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
       uniforms: [N,4] (pick, u1, u2, fresnel).
       any_glossy/any_refractive: trace-time material-table capability flags
         (see scatter_ray) — dead BSDF branches are never built.
+      depth_quirk: replicate the CURRENT reference code's termination quirk
+        (SURVEY.md §3.2c): a path whose bounce budget runs out contributes its
+        raw throughput (gatherImage, pathtrace.cu:574-589). Default False =
+        textbook termination (depth-truncated paths contribute nothing),
+        which is what the reference's own checked-in golden render shows
+        (img/reference/REFERENCE_cornell.5000samp.png matches us at block MAD
+        0.002 / corr 0.9995 without the quirk, but is 23% dimmer than either
+        renderer WITH it — the PNG predates the quirk).
 
     Returns updated (origin, direction, color, remaining_bounces). Lanes with
     remaining_bounces <= 0 on entry pass through unchanged (the reference skips
@@ -260,5 +269,8 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
     new_color = Vec3.where(miss_active, zero, new_color)  # background black
 
     new_rb = jnp.where(do_scatter, remaining_bounces - 1, remaining_bounces)
+    if not depth_quirk:
+        # depth-exhausted paths die unlit (-2: dead, never gathered)
+        new_rb = jnp.where(jnp.logical_and(do_scatter, new_rb == 0), -2, new_rb)
     new_rb = jnp.where(jnp.logical_or(emissive_active, miss_active), 0, new_rb)
     return new_origin, new_direction, new_color, new_rb

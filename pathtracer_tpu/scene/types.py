@@ -226,6 +226,10 @@ class RenderSettings:
     # material can take are not built at trace time (ops/bsdf.py scatter_ray).
     any_glossy: bool = True
     any_refractive: bool = True
+    # Reference termination quirk (SURVEY.md §3.2c): depth-truncated paths
+    # contribute raw throughput. Default False = textbook termination, which
+    # matches the reference's own golden render (see ops/bsdf.py shade).
+    depth_quirk: bool = False
     use_bvh: bool = True
     bvh_impl: str = "pallas"   # mesh traversal: Pallas packet kernel or "jnp"
     look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)

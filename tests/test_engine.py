@@ -65,15 +65,20 @@ def test_seed_determinism(cornell_small):
 
 
 def test_depth_exhaustion_quirk(cornell_small):
-    """Reference quirk (c): depth-truncated paths contribute raw throughput
-    (SURVEY.md §3.2) — so a depth-1 render of the Cornell interior is NOT
-    black even though almost no 1-bounce path reaches the light."""
+    """Reference quirk (c): with depth_quirk=True, depth-truncated paths
+    contribute raw throughput (SURVEY.md §3.2) — so a depth-1 quirk render of
+    the Cornell interior is NOT black even though almost no 1-bounce path
+    reaches the light. Default (textbook) termination IS nearly black."""
     import dataclasses
     scene, settings = cornell_small
-    s1 = dataclasses.replace(settings, trace_depth=1)
-    img = np.asarray(render(scene, s1, iterations=4, chunk=4))
+    s_quirk = dataclasses.replace(settings, trace_depth=1, depth_quirk=True)
+    img_q = np.asarray(render(scene, s_quirk, iterations=4, chunk=4))
     # walls contribute their albedo directly -> image clearly non-black
-    assert img.mean() > 0.1
+    assert img_q.mean() > 0.1
+    s_clean = dataclasses.replace(settings, trace_depth=1)
+    img_c = np.asarray(render(scene, s_clean, iterations=4, chunk=4))
+    # textbook: only direct light-hits contribute -> much darker
+    assert img_c.mean() < img_q.mean() * 0.5
 
 
 def _mode_settings(settings, **kw):
