@@ -22,16 +22,78 @@ The builder is vectorized NumPy over per-triangle precomputed bounds/centroids.
 """
 from __future__ import annotations
 
+import ctypes
+import os
 import sys
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 N_BUCKETS = 12
 
+_NATIVE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "libbvh.so")
+_native_lib: Optional[ctypes.CDLL] = None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """ctypes-load the C++ builder (native/bvh_builder.cpp, `make -C native`);
+    None if not built — the NumPy builder is a full fallback."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    if not os.path.exists(_NATIVE_PATH):
+        # best-effort one-time build (g++ is in the base image; ~2s)
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(_NATIVE_PATH)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not os.path.exists(_NATIVE_PATH):
+        return None
+    lib = ctypes.CDLL(_NATIVE_PATH)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.build_bvh_sah.restype = ctypes.c_int
+    lib.build_bvh_sah.argtypes = [
+        ctypes.c_int, f32p, f32p, f32p, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, i32p, i32p, i32p, i32p, i32p, i64p]
+    _native_lib = lib
+    return lib
+
+
+def _build_bvh_native(lib, tris, use_sah: bool, max_leaf: int):
+    T = tris["v0"].shape[0]
+    cap = 2 * T - 1 if T > 1 else 1
+    v0 = np.ascontiguousarray(tris["v0"], dtype=np.float32)
+    v1 = np.ascontiguousarray(tris["v1"], dtype=np.float32)
+    v2 = np.ascontiguousarray(tris["v2"], dtype=np.float32)
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    tf = np.empty(cap, np.int32)
+    tc = np.empty(cap, np.int32)
+    sc = np.empty(cap, np.int32)
+    par = np.empty(cap, np.int32)
+    sib = np.empty(cap, np.int32)
+    lo = np.empty(T, np.int64)
+    n = lib.build_bvh_sah(T, v0, v1, v2, max_leaf, int(use_sah),
+                          bmin.reshape(-1), bmax.reshape(-1), tf, tc, sc,
+                          par, sib, lo)
+    nodes = {
+        "bounds_min": bmin[:n].copy(), "bounds_max": bmax[:n].copy(),
+        "tri_first": tf[:n].copy(), "tri_count": tc[:n].copy(),
+        "second_child": sc[:n].copy(), "parent": par[:n].copy(),
+        "sibling": sib[:n].copy(),
+    }
+    reordered = {k: tris[k][lo] for k in
+                 ("v0", "v1", "v2", "n0", "n1", "n2", "material_id")}
+    return nodes, reordered
+
 
 def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True,
-              max_leaf: int = 4
+              max_leaf: int = 4, backend: str = "auto"
               ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Build a flattened BVH for one mesh.
 
@@ -39,12 +101,23 @@ def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True,
       tris: triangle SoA dict with v0,v1,v2,n0,n1,n2 [T,3] and material_id [T].
       use_sah: SAH bucket split (reference USE_SAH 1); else median split.
       max_leaf: max triangles per leaf (1 = reference layout).
+      backend: "auto" (native C++ if built, else NumPy), "native", "numpy".
+        Both produce IDENTICAL trees (double-precision math, same operation
+        order; tested in tests/test_native_bvh.py).
 
     Returns:
       (nodes, reordered_tris): nodes dict with bounds_min/bounds_max [N,3],
       tri_first [N] (-1 interior), tri_count [N] (0 interior), second_child,
       parent, sibling [N]; triangles reordered to DFS leaf order.
     """
+    if backend != "numpy":
+        lib = _load_native()
+        if lib is not None:
+            return _build_bvh_native(lib, tris, use_sah, max_leaf)
+        if backend == "native":
+            raise RuntimeError(
+                f"native builder not built ({_NATIVE_PATH}); run "
+                "`make -C native`")
     T = tris["v0"].shape[0]
     assert T > 0, "empty mesh"
     v0 = tris["v0"].astype(np.float64)

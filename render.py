@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--no-dof", action="store_true")
     ap.add_argument("--no-early-exit", action="store_true")
     ap.add_argument("--hdr", action="store_true", help="also save .hdr")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="checkpoint file: resumes from it if present, and "
+                         "saves to it after rendering")
     ap.add_argument("--engine", choices=("wavefront", "persistent"),
                     default="wavefront",
                     help="wavefront: masked fixed-pool bounce loop (fastest "
@@ -60,6 +63,17 @@ def main():
           f"geoms={len(settings.geom_types)} "
           f"tris={scene.triangles.v0x.shape[0]}")
 
+    start_iteration, accum = 0, None
+    if args.checkpoint:
+        import os as _os
+        if _os.path.exists(args.checkpoint):
+            from pathtracer_tpu.utils.checkpoint import load_checkpoint
+            accum, start_iteration, ck_seed = load_checkpoint(
+                args.checkpoint, settings)
+            args.seed = ck_seed
+            print(f"resuming from {args.checkpoint} at "
+                  f"{start_iteration} spp")
+
     t0 = time.perf_counter()
     if args.engine == "persistent":
         from pathtracer_tpu.engine.persistent import render_persistent
@@ -67,13 +81,27 @@ def main():
                                 chunk=max(args.chunk, 32))
     else:
         img = render(scene, settings, seed=args.seed, chunk=args.chunk,
-                     early_exit=not args.no_early_exit)
+                     early_exit=not args.no_early_exit,
+                     accum=accum, start_iteration=start_iteration)
     img.block_until_ready()
     dt = time.perf_counter() - t0
     n_rays = settings.pixel_count * settings.iterations
     print(f"rendered in {dt:.2f}s  "
           f"({1e3 * dt / settings.iterations:.2f} ms/iter, "
           f"{n_rays / dt / 1e6:.1f}M primary rays/s)")
+
+    if args.checkpoint and args.engine == "wavefront":
+        from pathtracer_tpu.engine.wavefront import zero_accum
+        from pathtracer_tpu.utils.checkpoint import save_checkpoint
+        import jax.numpy as _jnp
+        total = start_iteration + settings.iterations
+        # re-derive the final accumulation sum from the averaged image
+        from pathtracer_tpu.utils.vec import Vec3 as _V
+        flat = _jnp.asarray(img).reshape(-1, 3) * total
+        save_checkpoint(args.checkpoint,
+                        _V(flat[:, 0], flat[:, 1], flat[:, 2]),
+                        total, settings, seed=args.seed)
+        print(f"checkpoint -> {args.checkpoint} ({total} spp)")
 
     out = args.out or reference_style_name(settings.image_name,
                                            settings.iterations)

@@ -110,3 +110,22 @@ def test_teapot_mesh_loads():
     assert n_tris == 6320  # BASELINE.md teapot triangle count
     leaf = np.asarray(scene.bvh.tri_count) > 0
     assert np.asarray(scene.bvh.tri_count)[leaf].sum() == n_tris
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/scenes/animal.json"),
+                    reason="reference scenes unavailable")
+def test_alien_mesh_with_mtl_loads():
+    """alienanimal.obj + .mtl: per-face MTL materials are appended to the
+    material table (scene.cpp:289-314 semantics)."""
+    scene, settings = load_scene("/root/reference/scenes/animal.json",
+                                 overrides={"RES": [32, 32]})
+    n_tris = scene.triangles.v0x.shape[0]
+    assert n_tris == 46588  # BASELINE.md alien triangle count
+    # MTL materials beyond the JSON-declared ones
+    assert scene.materials.count > 2
+    # every triangle has a valid material id
+    mids = np.asarray(scene.triangles.material_id)
+    assert (mids >= 0).all() and (mids < scene.materials.count).all()
+    # packed kernel tables cover all nodes/triangles
+    leaf = np.asarray(scene.bvh.tri_count) > 0
+    assert np.asarray(scene.bvh.tri_count)[leaf].sum() == n_tris
