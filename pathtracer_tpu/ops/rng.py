@@ -142,6 +142,13 @@ def normals(key: jax.Array, n: int, m: int) -> jnp.ndarray:
 # Unified stream facade: trace-time static choice between the two
 # ---------------------------------------------------------------------------
 
+def _u32_salt(depth):
+    """fold_in rejects negative Python ints (raygen channels -1/-2)."""
+    if isinstance(depth, int) and depth < 0:
+        return depth & 0xFFFFFFFF
+    return depth
+
+
 class IterationRng:
     """Per-iteration RNG facade for the wavefront engines.
 
@@ -177,7 +184,7 @@ class IterationRng:
             st = decision_state(self.seed, self.iteration, depth,
                                 pixel_local + self.offset)
             return fast_uniforms_perlane(st, m)
-        s = self.stream.fold(depth)
+        s = self.stream.fold(_u32_salt(depth))
         if salt is not None:
             s = s.fold(salt)
         return s.uniforms(pixel_local.shape[0], m)
@@ -187,7 +194,8 @@ class IterationRng:
             st = decision_state(self.seed, self.iteration, depth,
                                 pixel_local + self.offset)
             return fast_normals_perlane(st, m)
-        return self.stream.fold(depth).normals(pixel_local.shape[0], m)
+        return self.stream.fold(_u32_salt(depth)).normals(
+            pixel_local.shape[0], m)
 
 
 class Stream:

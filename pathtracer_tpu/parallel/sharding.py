@@ -109,6 +109,90 @@ def render_sharded(scene: SceneArrays, settings: RenderSettings,
     return avg.to_array().reshape(settings.height, settings.width, 3)
 
 
+def render_persistent_sharded(scene: SceneArrays, settings: RenderSettings,
+                              mesh: Optional[Mesh] = None,
+                              iterations: Optional[int] = None,
+                              seed: int = 0, chunk: int = 64) -> jnp.ndarray:
+    """Persistent work-queue engine over a device mesh.
+
+    Each shard runs its own rotating lane<->pixel schedule over its LOCAL
+    pixel block (pixel ids stay globally unique via pixel_offset, so RNG
+    streams — keyed on (seed, sample, depth, global pixel) — are identical to
+    the single-chip render). Zero cross-chip traffic, like the masked engine.
+    """
+    from ..engine.persistent import _step, fresh_lanes, pixel_stride
+
+    if mesh is None:
+        mesh = make_ray_mesh()
+    spp = settings.iterations if iterations is None else iterations
+    n_shards = mesh.shape[RAY_AXIS]
+    n_total = settings.pixel_count
+    assert n_total % n_shards == 0
+    n_local = n_total // n_shards
+    stride = pixel_stride(n_local)
+
+    scene_r = replicate(scene, mesh)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),),
+             out_specs=P(RAY_AXIS), check_vma=False)
+    def run(scene):
+        shard = jax.lax.axis_index(RAY_AXIS)
+        offset = shard * n_local
+        state = fresh_lanes(settings, n=n_local)
+
+        def cond(s):
+            return jnp.logical_or(
+                jnp.any(jnp.logical_or(s.remaining_bounces > 0,
+                                       s.assign < spp)),
+                s.flushed < spp)
+
+        def body(s):
+            return _step(scene, settings, seed, s, jnp.int32(spp), stride,
+                         offset)
+
+        state = jax.lax.while_loop(cond, body, state)
+        return state.accum
+
+    accum = run(scene_r)
+    avg = accum * (1.0 / jnp.float32(spp))
+    return avg.to_array().reshape(settings.height, settings.width, 3)
+
+
+def scaling_efficiency(scene: SceneArrays, settings: RenderSettings,
+                       shard_counts, iterations: int = 32,
+                       seed: int = 0) -> dict:
+    """Rays/s scaling-efficiency harness (north-star: >=85% at 2 hosts).
+
+    Renders `iterations` spp on 1-D meshes of each size in `shard_counts`
+    and reports rays/s and efficiency vs linear scaling from the smallest.
+    """
+    import time
+
+    results = {}
+    base = None
+    for n_dev in shard_counts:
+        mesh = make_ray_mesh(n_dev)
+        scene_r = replicate(scene, mesh)
+        accum = shard_accum(zero_accum(settings), mesh)
+        # compile + warm
+        out = render_chunk_sharded(scene_r, settings, mesh, accum,
+                                   jnp.int32(1), iterations, seed)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = render_chunk_sharded(scene_r, settings, mesh, out,
+                                   jnp.int32(1 + iterations), iterations,
+                                   seed)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rays_s = settings.pixel_count * iterations / dt
+        if base is None:
+            base = (n_dev, rays_s)
+        eff = rays_s / (base[1] * n_dev / base[0])
+        results[n_dev] = {"rays_per_s": rays_s, "efficiency": eff}
+    return results
+
+
 def albedo_fit_step(scene: SceneArrays, settings: RenderSettings,
                     mesh: Mesh, target: Vec3, iteration: jnp.ndarray,
                     lr: float = 0.5, seed: int = 0):

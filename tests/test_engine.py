@@ -182,3 +182,23 @@ def test_persistent_resume_matches_oneshot(cornell_small):
     np.testing.assert_allclose(np.asarray(s1.accum.to_array()),
                                np.asarray(s2.accum.to_array()),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_threefry_rng_mode(cornell_small):
+    """The jax.random (threefry) stream path must render end to end and
+    converge to the same image as the fast hash path."""
+    scene, settings = cornell_small
+    s_tf = _mode_settings(settings, fast_rng=False)
+    img_t = np.asarray(render(scene, s_tf, iterations=32, chunk=16))
+    img_f = np.asarray(render(scene, settings, iterations=32, chunk=16))
+    assert np.isfinite(img_t).all()
+    assert abs(img_t.mean() - img_f.mean()) < 0.03
+
+
+def test_checkified_iteration_no_nans(cornell_small):
+    """ERRORCHECK equivalent: one full iteration checkified for NaN/Inf in
+    every intermediate (utils/debug.py)."""
+    from pathtracer_tpu.utils.debug import validate_iteration
+
+    scene, settings = cornell_small
+    validate_iteration(scene, settings)  # raises on any non-finite value

@@ -129,3 +129,67 @@ def test_alien_mesh_with_mtl_loads():
     # packed kernel tables cover all nodes/triangles
     leaf = np.asarray(scene.bvh.tri_count) > 0
     assert np.asarray(scene.bvh.tri_count)[leaf].sum() == n_tris
+
+
+def test_two_meshes_offset_fixup(tmp_path):
+    """Two mesh objects in one scene: node/triangle global offset fix-up
+    (scene.cpp:178-189) must keep each BVH self-consistent, and both meshes
+    must be hittable."""
+    import json
+
+    import jax.numpy as jnp
+
+    from pathtracer_tpu.ops.intersect import intersect_scene
+    from pathtracer_tpu.utils.vec import Vec3
+
+    # two unit quads (2 tris each) at z=-2 (left) and z=-4 (right)
+    obj = """
+v -1 -1 0
+v 1 -1 0
+v 1 1 0
+v -1 1 0
+f 1 2 3
+f 1 3 4
+"""
+    p = tmp_path / "quad.obj"
+    p.write_text(obj)
+    scene_json = {
+        "Materials": {
+            "white": {"TYPE": "Diffuse", "RGB": [0.9, 0.9, 0.9]},
+            "red": {"TYPE": "Diffuse", "RGB": [0.9, 0.1, 0.1]},
+        },
+        "Camera": {
+            "RES": [16, 16], "FOVY": 45.0, "ITERATIONS": 1, "DEPTH": 2,
+            "FILE": "x", "EYE": [0, 0, 5], "LOOKAT": [0, 0, 0],
+            "UP": [0, 1, 0],
+        },
+        "Objects": [
+            {"TYPE": "mesh", "FILE": str(p), "MATERIAL": "white",
+             "TRANS": [-1.5, 0, -2], "ROTAT": [0, 0, 0], "SCALE": [1, 1, 1]},
+            {"TYPE": "mesh", "FILE": str(p), "MATERIAL": "red",
+             "TRANS": [1.5, 0, -4], "ROTAT": [0, 0, 0], "SCALE": [1, 1, 1]},
+        ],
+    }
+    jp = tmp_path / "two.json"
+    jp.write_text(json.dumps(scene_json))
+    scene, settings = load_scene(str(jp), orbit=False, max_leaf=1)
+    assert settings.geom_types == (2, 2)
+    assert scene.triangles.v0x.shape[0] == 4
+    roots = np.asarray(scene.geoms.root_node)
+    assert roots[0] == 0 and roots[1] == 3  # 3 nodes per 2-tri mesh
+
+    o = Vec3(jnp.asarray([-1.5, 1.5]), jnp.asarray([0.0, 0.0]),
+             jnp.asarray([5.0, 5.0]))
+    d = Vec3(jnp.asarray([0.0, 0.0]), jnp.asarray([0.0, 0.0]),
+             jnp.asarray([-1.0, -1.0]))
+    t, nrm, mat = intersect_scene(scene, settings.geom_types, o, d,
+                                  bvh_impl="jnp")
+    assert abs(float(t[0]) - 7.0) < 1e-3   # left quad at z=-2
+    assert abs(float(t[1]) - 9.0) < 1e-3   # right quad at z=-4
+    assert int(mat[0]) == 0 and int(mat[1]) == 1
+
+    # packet kernel agrees (interpret mode on CPU)
+    t2, _, mat2 = intersect_scene(scene, settings.geom_types, o, d,
+                                  bvh_impl="pallas")
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mat), np.asarray(mat2))

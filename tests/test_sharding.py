@@ -70,3 +70,29 @@ def test_albedo_fit_step_runs_and_descends(cornell_small, mesh):
     s2, loss2 = albedo_fit_step(s1, settings, mesh, target, jnp.int32(1),
                                 lr=0.5, seed=0)
     assert float(loss2) <= float(loss1) + 1e-6
+
+
+def test_persistent_sharded_bitexact_vs_single(cornell_small, mesh):
+    """The sharded persistent engine must produce the SAME image as the
+    single-device masked engine (pixel-keyed RNG), up to float accumulation
+    order."""
+    from pathtracer_tpu.parallel.sharding import render_persistent_sharded
+
+    scene, settings = cornell_small
+    spp = 8
+    img_s = np.asarray(render_persistent_sharded(scene, settings, mesh,
+                                                 iterations=spp))
+    single = render_chunk(scene, settings, zero_accum(settings), jnp.int32(1),
+                          spp, 0, True)
+    img_1 = np.asarray(single.to_array()).reshape(img_s.shape) / spp
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-4, atol=1e-5)
+
+
+def test_scaling_harness_runs(cornell_small, mesh):
+    from pathtracer_tpu.parallel.sharding import scaling_efficiency
+
+    scene, settings = cornell_small
+    r = scaling_efficiency(scene, settings, [1, 2], iterations=4)
+    assert set(r) == {1, 2}
+    assert r[1]["rays_per_s"] > 0 and r[2]["rays_per_s"] > 0
+    assert 0 < r[2]["efficiency"]  # CPU virtual devices: no perf claim
