@@ -142,7 +142,7 @@ def _step(scene: SceneArrays, settings: RenderSettings, seed: int,
         need,
         (lane + assign * jnp.int32(stride)) % jnp.int32(n),
         state.pixel)
-    pixel_g = pixel + pixel_offset
+    pixel_g = settings.pixel_map()(pixel + pixel_offset)
 
     jitter = (rng.fast_normals_perlane(
         rng.decision_state(seed, assign, -1, pixel_g), 2)
@@ -162,7 +162,7 @@ def _step(scene: SceneArrays, settings: RenderSettings, seed: int,
     # --- one bounce for every live lane --------------------------------------
     t, normal, mat_id = intersect_scene(
         scene, settings.geom_types, origin, direction,
-        bvh_impl=settings.bvh_impl)
+        bvh_impl=settings.bvh_impl, active=rb > 0)
     depth = settings.trace_depth - rb                     # per-lane depth
     u = rng.fast_uniforms_perlane(
         rng.decision_state(seed, assign, depth, pixel_g), 4)
@@ -238,5 +238,6 @@ def render_persistent(scene: SceneArrays, settings: RenderSettings,
                                         jnp.int32(done), seed, stride)
         if progress is not None:
             progress(done, state.accum)
+    from .wavefront import lanes_to_image
     avg = state.accum * (1.0 / jnp.float32(spp))
-    return avg.to_array().reshape(settings.height, settings.width, 3)
+    return lanes_to_image(avg, settings)

@@ -91,9 +91,10 @@ def generate_paths(scene: SceneArrays, settings: RenderSettings,
     lanes = jnp.arange(n, dtype=jnp.int32)
     jitter = irng.normals(-1, lanes, 2) if settings.jitter else None
     dof_u = irng.uniforms(-2, lanes, 2) if settings.dof else None
+    pixel_ids = settings.pixel_map()(lanes + pixel_offset)
     origin, direction = generate_camera_rays(
         scene.camera, settings.width, settings.height, jitter, dof_u,
-        n=n, pixel_offset=pixel_offset)
+        n=n, pixel_idx=pixel_ids)
     one = jnp.ones((n,), dtype=jnp.float32)
     return PathState(
         origin=origin,
@@ -112,7 +113,7 @@ def bounce_step(scene: SceneArrays, settings: RenderSettings,
     n = state.origin.x.shape[0]
     t, normal, mat_id = intersect_scene(
         scene, settings.geom_types, state.origin, state.direction,
-        bvh_impl=settings.bvh_impl)
+        bvh_impl=settings.bvh_impl, active=state.remaining_bounces > 0)
 
     u = irng.uniforms(depth, state.pixel, 4)
     origin, direction, color, rb = shade(
@@ -262,7 +263,8 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
     Returns the updated accumulation image.
     """
     irng = rng.IterationRng(settings.fast_rng, seed, iteration,
-                            pixel_offset=pixel_offset, key_salt=key_salt)
+                            pixel_offset=pixel_offset, key_salt=key_salt,
+                            pixel_map=settings.pixel_map())
     n = accum.x.shape[0]
     state = generate_paths(scene, settings, irng, n=n,
                            pixel_offset=pixel_offset)
@@ -372,4 +374,18 @@ def render(scene: SceneArrays, settings: RenderSettings,
         if progress is not None:
             progress(done, accum)
     avg = accum * (1.0 / jnp.float32(start_iteration + n_total))
-    return avg.to_array().reshape(settings.height, settings.width, 3)
+    return lanes_to_image(avg, settings)
+
+
+def lanes_to_image(avg: Vec3, settings: RenderSettings):
+    """Lane-space Vec3 -> [H,W,3] image (undoes tile-major lane order)."""
+    import numpy as np
+
+    arr = np.asarray(avg.to_array())
+    if settings.tile is None:
+        return arr.reshape(settings.height, settings.width, 3)
+    pm = np.asarray(settings.pixel_map()(
+        np.arange(settings.pixel_count, dtype=np.int64)))
+    out = np.empty_like(arr)
+    out[pm] = arr
+    return out.reshape(settings.height, settings.width, 3)

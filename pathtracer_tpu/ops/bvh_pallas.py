@@ -52,6 +52,7 @@ from ..scene.types import NODES_PER_FROW, NODES_PER_IROW, TRI_STRIDE, TRIS_PER_R
 from ..utils.vec import Vec3
 
 FLT_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts in the kernel
+OCTANT_PASSES = False     # 8 direction-masked walks/pass (measured: loses)
 BLOCK_ROWS = 32           # rays per block = BLOCK_ROWS * 128 (swept on TPU:
 #                           8/16/32 within 1%; unions saturate for incoherent
 #                           secondary rays, so bigger blocks amortize better)
@@ -65,10 +66,11 @@ def _extract(row, group: jnp.ndarray, stride: int):
 
 
 def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
-                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
                    t_ref, nx_ref, ny_ref, nz_ref, mat_ref):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    lane_active = act_ref[:] > 0
     inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
     shape = ox.shape
 
@@ -76,14 +78,23 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
     zero = jnp.zeros(shape, jnp.float32)
     mat0 = jnp.full(shape, -1, jnp.int32)
 
-    def tri_test(ti, carry):
-        """Test ONE triangle (scalar record) against all lanes."""
+    def leaf_test(tri_first, tri_count, carry):
+        """Test one row-aligned leaf (up to TRIS_PER_ROW triangles): ONE
+        dynamic row load, then static-lane extracts per triangle — no dynamic
+        roll in the hot leaf path (scene/bvh.py align_leaves)."""
+        trow = trisf_ref[pl.ds(tri_first // TRIS_PER_ROW, 1), :]
+        for j in range(TRIS_PER_ROW):
+            carry = tri_test(trow, j, j < tri_count, carry)
+        return carry
+
+    def tri_test(trow, j, in_leaf, carry):
+        """Test triangle slot j of a loaded row against all lanes."""
         t_min, nx, ny, nz, mat = carry
-        trow = trisf_ref[pl.ds(ti // TRIS_PER_ROW, 1), :]
-        tv = _extract(trow, ti % TRIS_PER_ROW, TRI_STRIDE)
-        v0x, v0y, v0z = tv[0, 0], tv[0, 1], tv[0, 2]
-        e1x, e1y, e1z = tv[0, 3], tv[0, 4], tv[0, 5]
-        e2x, e2y, e2z = tv[0, 6], tv[0, 7], tv[0, 8]
+        b = TRI_STRIDE * j
+        tv = trow
+        v0x, v0y, v0z = tv[0, b + 0], tv[0, b + 1], tv[0, b + 2]
+        e1x, e1y, e1z = tv[0, b + 3], tv[0, b + 4], tv[0, b + 5]
+        e2x, e2y, e2z = tv[0, b + 6], tv[0, b + 7], tv[0, b + 8]
 
         # Moller-Trumbore, scalar triangle vs vector rays
         hx = dy * e2z - dz * e2y
@@ -105,14 +116,16 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
                 jnp.logical_and(u >= 0.0, u <= 1.0),
                 jnp.logical_and(jnp.logical_and(v >= 0.0, (u + v) <= 1.0),
                                 t >= EPS)))
-        upd = jnp.logical_and(valid, jnp.logical_and(t > 0.0, t < t_min))
+        upd = jnp.logical_and(
+            in_leaf, jnp.logical_and(valid,
+                                     jnp.logical_and(t > 0.0, t < t_min)))
 
         # smooth normal of THIS triangle (scalar corners, vector u/v weights),
         # flipped toward the ray (triangleIntersect, intersections.cu:155-160)
         w = 1.0 - u - v
-        nnx = w * tv[0, 9] + u * tv[0, 12] + v * tv[0, 15]
-        nny = w * tv[0, 10] + u * tv[0, 13] + v * tv[0, 16]
-        nnz = w * tv[0, 11] + u * tv[0, 14] + v * tv[0, 17]
+        nnx = w * tv[0, b + 9] + u * tv[0, b + 12] + v * tv[0, b + 15]
+        nny = w * tv[0, b + 10] + u * tv[0, b + 13] + v * tv[0, b + 16]
+        nnz = w * tv[0, b + 11] + u * tv[0, b + 14] + v * tv[0, b + 17]
         inv_len = jax.lax.rsqrt(
             jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
         flip = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
@@ -123,64 +136,90 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
         nx = jnp.where(upd, nnx, nx)
         ny = jnp.where(upd, nny, ny)
         nz = jnp.where(upd, nnz, nz)
-        mat = jnp.where(upd, tv[0, 18].astype(jnp.int32), mat)
+        mat = jnp.where(upd, tv[0, b + 18].astype(jnp.int32), mat)
         return t_min, nx, ny, nz, mat
 
     ENTER, ADVANCE = jnp.int32(0), jnp.int32(1)
 
+    # Direction octant per lane: secondary bounce rays are directionally
+    # incoherent, and a single walk's union then saturates at the whole tree.
+    # Walking the tree once PER OCTANT with `want` masked to that octant's
+    # lanes keeps each pass's union small (same-octant rays from a compact
+    # pixel tile are coherent), and t_min carries across passes so later
+    # octants prune against earlier hits. Zero data movement.
+    octant = (jnp.where(dx < 0, 4, 0) + jnp.where(dy < 0, 2, 0)
+              + jnp.where(dz < 0, 1, 0))
+
     def cond(c):
         return c[0] >= 0
 
-    def body(c):
-        node, mode, t_min, nx, ny, nz, mat = c
-        frow = nodesf_ref[pl.ds(node // NODES_PER_FROW, 1), :]
-        fv = _extract(frow, node % NODES_PER_FROW, 8)
-        irow = nodesi_ref[pl.ds(node // NODES_PER_IROW, 1), :]
-        iv = _extract(irow, node % NODES_PER_IROW, 4)
-        tri_first, tri_count = iv[0, 0], iv[0, 1]
-        sib, par = iv[0, 2], iv[0, 3]
+    def make_body(active):
+        def body(c):
+            node, mode, t_min, nx, ny, nz, mat = c
+            frow = nodesf_ref[pl.ds(node // NODES_PER_FROW, 1), :]
+            fv = _extract(frow, node % NODES_PER_FROW, 8)
+            irow = nodesi_ref[pl.ds(node // NODES_PER_IROW, 1), :]
+            iv = _extract(irow, node % NODES_PER_IROW, 4)
+            tri_first, tri_count = iv[0, 0], iv[0, 1]
+            sib, par = iv[0, 2], iv[0, 3]
 
-        entering = mode == ENTER
+            entering = mode == ENTER
 
-        # slab test: scalar box vs vector rays (aabbIntersect semantics)
-        tnx = (fv[0, 0] - ox) * inv_x
-        tfx = (fv[0, 3] - ox) * inv_x
-        tny = (fv[0, 1] - oy) * inv_y
-        tfy = (fv[0, 4] - oy) * inv_y
-        tnz = (fv[0, 2] - oz) * inv_z
-        tfz = (fv[0, 5] - oz) * inv_z
-        t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
-                                     jnp.minimum(tny, tfy)),
-                         jnp.minimum(tnz, tfz))
-        t1 = jnp.minimum(jnp.minimum(jnp.maximum(tnx, tfx),
-                                     jnp.maximum(tny, tfy)),
-                         jnp.maximum(tnz, tfz))
-        want = jnp.logical_and(t0 <= t1,
-                               jnp.logical_and(t1 > 0.0, t0 < t_min))
-        any_want = jnp.logical_and(
-            entering, jnp.sum(want.astype(jnp.int32)) > 0)
+            # slab test: scalar box vs vector rays (aabbIntersect semantics).
+            # (Splitting ENTER/ADVANCE into lax.cond branches to skip this on
+            # ADVANCE steps was measured SLOWER — 726 vs 635 ms teapot frame —
+            # Mosaic cond overhead exceeds the redundant box test.)
+            tnx = (fv[0, 0] - ox) * inv_x
+            tfx = (fv[0, 3] - ox) * inv_x
+            tny = (fv[0, 1] - oy) * inv_y
+            tfy = (fv[0, 4] - oy) * inv_y
+            tnz = (fv[0, 2] - oz) * inv_z
+            tfz = (fv[0, 5] - oz) * inv_z
+            t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
+                                         jnp.minimum(tny, tfy)),
+                             jnp.minimum(tnz, tfz))
+            t1 = jnp.minimum(jnp.minimum(jnp.maximum(tnx, tfx),
+                                         jnp.maximum(tny, tfy)),
+                             jnp.maximum(tnz, tfz))
+            want = jnp.logical_and(
+                jnp.logical_and(active, lane_active),
+                jnp.logical_and(t0 <= t1,
+                                jnp.logical_and(t1 > 0.0, t0 < t_min)))
+            any_want = jnp.logical_and(
+                entering, jnp.sum(want.astype(jnp.int32)) > 0)
 
-        is_leaf = tri_count > 0
+            is_leaf = tri_count > 0
 
-        def do_leaf(carry):
-            def lbody(j, cc):
-                return tri_test(tri_first + j, cc)
-            return jax.lax.fori_loop(0, tri_count, lbody, carry)
+            t_min, nx, ny, nz, mat = jax.lax.cond(
+                jnp.logical_and(any_want, is_leaf),
+                lambda cc: leaf_test(tri_first, tri_count, cc),
+                lambda cc: cc, (t_min, nx, ny, nz, mat))
 
-        t_min, nx, ny, nz, mat = jax.lax.cond(
-            jnp.logical_and(any_want, is_leaf), do_leaf, lambda cc: cc,
-            (t_min, nx, ny, nz, mat))
-
-        descend = jnp.logical_and(any_want, jnp.logical_not(is_leaf))
-        node_next = jnp.where(descend, node + 1,
-                              jnp.where(sib >= 0, sib, par))
-        mode_next = jnp.where(jnp.logical_or(descend, sib >= 0),
-                              ENTER, ADVANCE)
-        return node_next, mode_next, t_min, nx, ny, nz, mat
+            descend = jnp.logical_and(any_want, jnp.logical_not(is_leaf))
+            node_next = jnp.where(descend, node + 1,
+                                  jnp.where(sib >= 0, sib, par))
+            mode_next = jnp.where(jnp.logical_or(descend, sib >= 0),
+                                  ENTER, ADVANCE)
+            return node_next, mode_next, t_min, nx, ny, nz, mat
+        return body
 
     root = root_ref[0, 0]
-    _, _, t_min, nx, ny, nz, mat = jax.lax.while_loop(
-        cond, body, (root, ENTER, t_min0, zero, zero, zero, mat0))
+
+    if OCTANT_PASSES:
+        def oct_pass(o, carry):
+            t_min, nx, ny, nz, mat = carry
+            _, _, t_min, nx, ny, nz, mat = jax.lax.while_loop(
+                cond, make_body(octant == o),
+                (root, ENTER, t_min, nx, ny, nz, mat))
+            return t_min, nx, ny, nz, mat
+
+        t_min, nx, ny, nz, mat = jax.lax.fori_loop(
+            0, 8, oct_pass, (t_min0, zero, zero, zero, mat0))
+    else:
+        always = octant >= 0
+        _, _, t_min, nx, ny, nz, mat = jax.lax.while_loop(
+            cond, make_body(always),
+            (root, ENTER, t_min0, zero, zero, zero, mat0))
 
     missed = t_min >= FLT_MAX
     t_ref[:] = jnp.where(missed, -1.0, t_min)
@@ -192,7 +231,7 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mesh_intersect_packet(scene, root_node, origin: Vec3, direction: Vec3,
-                          interpret: bool = False):
+                          active=None, interpret: bool = False):
     """Packet-traversal mesh intersection over the whole ray pool.
 
     Same contract as ops.intersect.mesh_intersect (t [N] / normal / mat, -1 on
@@ -210,6 +249,11 @@ def mesh_intersect_packet(scene, root_node, origin: Vec3, direction: Vec3,
     ox, oy, oz = (prep(c, 0.0) for c in origin)
     # pad directions with 1s: degenerate rays still traverse but harmlessly
     dx, dy, dz = (prep(c, 1.0) for c in direction)
+    if active is None:
+        act = jnp.ones((n,), jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
+    act = prep(act, 0)
     root = jnp.asarray(root_node, jnp.int32).reshape(1, 1)
 
     rows = n_pad // 128
@@ -226,12 +270,13 @@ def mesh_intersect_packet(scene, root_node, origin: Vec3, direction: Vec3,
         in_specs=[table_spec, table_spec, table_spec,
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-                  ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec],
+                  ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                  ray_spec],
         out_specs=[ray_spec] * 5,
         out_shape=out_shape,
         interpret=interpret,
     )(scene.bvh_packed_f, scene.bvh_packed_i, scene.tris_packed, root,
-      ox, oy, oz, dx, dy, dz)
+      ox, oy, oz, dx, dy, dz, act)
 
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), Vec3(flat(nx), flat(ny), flat(nz)), flat(mat)

@@ -13,6 +13,37 @@ from ..utils.math import PI
 from ..utils.vec import Vec3
 
 
+def pick_tile(width: int, height: int):
+    """Largest square tile (<= 32x32) dividing the image, or None.
+
+    Lane order is tile-major when possible: a traversal-kernel ray block then
+    covers a compact pixel footprint instead of a full-width scanline strip,
+    which is what keeps secondary-bounce origins coherent (ops/bvh_pallas.py).
+    """
+    for t in (32, 16, 8):
+        if width % t == 0 and height % t == 0:
+            return (t, t)
+    return None
+
+
+def tile_pixel_map(width: int, height: int, tile_h: int, tile_w: int):
+    """lane (tile-major) -> pixel index (row-major). Pure index math, works
+    on ints and traced arrays."""
+    tiles_x = width // tile_w
+    tsz = tile_h * tile_w
+
+    def f(lane):
+        t = lane // tsz
+        r = lane % tsz
+        ty = t // tiles_x
+        tx = t % tiles_x
+        py = ty * tile_h + r // tile_w
+        px = tx * tile_w + r % tile_w
+        return py * width + px
+
+    return f
+
+
 def concentric_sample_disk(u1: jnp.ndarray, u2: jnp.ndarray):
     """Concentric disk warp (pathtrace.cu:235-250). Returns (dx, dy)."""
     sx = 2.0 * u1 - 1.0

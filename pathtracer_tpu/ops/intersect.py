@@ -320,7 +320,7 @@ def mesh_intersect(scene: SceneArrays, root_node: jnp.ndarray,
 
 def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
                     origin: Vec3, direction: Vec3,
-                    bvh_impl: str = "pallas"
+                    bvh_impl: str = "pallas", active=None
                     ) -> Tuple[jnp.ndarray, Vec3, jnp.ndarray]:
     """Closest-hit over all geoms (computeIntersectionsNaive,
     pathtrace.cu:441-522).
@@ -344,6 +344,7 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
                 from .bvh_pallas import mesh_intersect_packet
                 t, nrm, mat = mesh_intersect_packet(
                     scene, scene.geoms.root_node[i], origin, direction,
+                    active=active,
                     interpret=jax.default_backend() != "tpu")
             else:
                 t, nrm, mat = mesh_intersect(

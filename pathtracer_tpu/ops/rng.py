@@ -158,11 +158,14 @@ class IterationRng:
     (iteration, salt, depth), assigned by lane row (reference-style).
     """
 
-    __slots__ = ("fast", "seed", "iteration", "offset", "stream")
+    __slots__ = ("fast", "seed", "iteration", "offset", "stream",
+                 "pixel_map")
 
     def __init__(self, fast: bool, seed, iteration, pixel_offset=0,
-                 key_salt=None):
+                 key_salt=None, pixel_map=None):
         self.fast = fast
+        self.pixel_map = pixel_map if pixel_map is not None else (
+            lambda lane: lane)
         if fast:
             self.seed = seed
             self.iteration = iteration
@@ -182,7 +185,7 @@ class IterationRng:
         """
         if self.fast:
             st = decision_state(self.seed, self.iteration, depth,
-                                pixel_local + self.offset)
+                                self.pixel_map(pixel_local + self.offset))
             return fast_uniforms_perlane(st, m)
         s = self.stream.fold(_u32_salt(depth))
         if salt is not None:
@@ -192,7 +195,7 @@ class IterationRng:
     def normals(self, depth, pixel_local: jnp.ndarray, m: int) -> jnp.ndarray:
         if self.fast:
             st = decision_state(self.seed, self.iteration, depth,
-                                pixel_local + self.offset)
+                                self.pixel_map(pixel_local + self.offset))
             return fast_normals_perlane(st, m)
         return self.stream.fold(_u32_salt(depth)).normals(
             pixel_local.shape[0], m)

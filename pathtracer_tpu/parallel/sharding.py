@@ -105,8 +105,9 @@ def render_sharded(scene: SceneArrays, settings: RenderSettings,
                                      jnp.int32(done + 1), this, seed,
                                      early_exit)
         done += this
+    from ..engine.wavefront import lanes_to_image
     avg = accum * (1.0 / jnp.float32(n_total))
-    return avg.to_array().reshape(settings.height, settings.width, 3)
+    return lanes_to_image(avg, settings)
 
 
 def render_persistent_sharded(scene: SceneArrays, settings: RenderSettings,
@@ -155,8 +156,9 @@ def render_persistent_sharded(scene: SceneArrays, settings: RenderSettings,
         return state.accum
 
     accum = run(scene_r)
+    from ..engine.wavefront import lanes_to_image
     avg = accum * (1.0 / jnp.float32(spp))
-    return avg.to_array().reshape(settings.height, settings.width, 3)
+    return lanes_to_image(avg, settings)
 
 
 def scaling_efficiency(scene: SceneArrays, settings: RenderSettings,

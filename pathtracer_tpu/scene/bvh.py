@@ -236,3 +236,44 @@ def build_bvh(tris: Dict[str, np.ndarray], use_sah: bool = True,
     reordered = {k: tris[k][lo] for k in
                  ("v0", "v1", "v2", "n0", "n1", "n2", "material_id")}
     return nodes, reordered
+
+
+def align_leaves(nodes: Dict[str, np.ndarray],
+                 reordered: Dict[str, np.ndarray], row: int = 6
+                 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Pad each leaf's triangle range to start on a `row` boundary.
+
+    The Pallas packet kernel packs `row` triangles per 128-lane VMEM row
+    (scene/types.py TRIS_PER_ROW); with aligned leaves a whole leaf is ONE
+    row load + static extracts instead of a dynamic roll per triangle.
+    Padding slots duplicate the leaf's first triangle but are masked out by
+    tri_count, so results are unchanged. Works on either builder's output.
+    """
+    leaf = nodes["tri_count"] > 0
+    order = np.argsort(nodes["tri_first"][leaf])
+    leaf_ids = np.where(leaf)[0][order]
+
+    new_first = np.array(nodes["tri_first"])
+    src_slices = []
+    cursor = 0
+    for li in leaf_ids:
+        f, c = nodes["tri_first"][li], nodes["tri_count"][li]
+        cursor = -(-cursor // row) * row      # round up to row boundary
+        new_first[li] = cursor
+        src_slices.append((cursor, f, c))
+        cursor += c
+    total = -(-cursor // row) * row
+
+    out = {}
+    for k, arr in reordered.items():
+        shape = (total,) + arr.shape[1:]
+        dst = np.zeros(shape, arr.dtype)
+        for start, f, c in src_slices:
+            dst[start:start + c] = arr[f:f + c]
+            # pad the rest of the row with the first triangle (masked out)
+            pad_end = min(-(-(start + c) // row) * row, total)
+            dst[start + c:pad_end] = arr[f]
+        out[k] = dst
+    nodes = dict(nodes)
+    nodes["tri_first"] = new_first.astype(np.int32)
+    return nodes, out

@@ -99,6 +99,10 @@ def pack_bvh_tables(nodes: dict, tris: dict):
           (v0, e1, e2, n0, n1, n2, material_id, pad)
     """
     nn = nodes["tri_first"].shape[0]
+    leaf = nodes["tri_count"] > 0
+    assert (nodes["tri_first"][leaf] % TRIS_PER_ROW == 0).all(), (
+        "leaf ranges must be row-aligned (scene/bvh.py align_leaves) for the "
+        "packet kernel's one-load-per-leaf fast path")
     f = np.zeros((nn, 8), np.float32)
     f[:, 0:3] = nodes["bounds_min"]
     f[:, 3:6] = nodes["bounds_max"]
@@ -237,6 +241,17 @@ class RenderSettings:
     # Static per-geom type tuple (SPHERE/CUBE/MESH): lets the trace-time geom
     # loop unroll per type so XLA fuses all analytic tests into one pass.
     geom_types: tuple = ()
+    # Tile-major lane order (tile_h, tile_w), or None for scanline order.
+    # Images are IDENTICAL either way (RNG and estimators are keyed by pixel
+    # id); tiling only changes which rays share a traversal-kernel block.
+    tile: tuple | None = None
+
+    def pixel_map(self):
+        """lane -> pixel id function (identity when untiled)."""
+        if self.tile is None:
+            return lambda lane: lane
+        from ..ops.camera import tile_pixel_map
+        return tile_pixel_map(self.width, self.height, *self.tile)
 
     @property
     def pixel_count(self) -> int:

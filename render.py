@@ -83,8 +83,7 @@ def main():
         img = render(scene, settings, seed=args.seed, chunk=args.chunk,
                      early_exit=not args.no_early_exit,
                      accum=accum, start_iteration=start_iteration)
-    img.block_until_ready()
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t0  # render() returns a host ndarray
     n_rays = settings.pixel_count * settings.iterations
     print(f"rendered in {dt:.2f}s  "
           f"({1e3 * dt / settings.iterations:.2f} ms/iter, "

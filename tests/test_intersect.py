@@ -175,6 +175,8 @@ def _random_mesh_scene(n_tris=64):
         "material_id": np.arange(n_tris, dtype=np.int32) % 5,
     }
     nodes, reordered = build_bvh(tris, max_leaf=4)
+    from pathtracer_tpu.scene.bvh import align_leaves
+    nodes, reordered = align_leaves(nodes, reordered)
     geoms = [{"type": 2, "material_id": 0,
               "transform": np.eye(4), "inverse_transform": np.eye(4),
               "inv_transpose": np.eye(4), "root_node": 0}]

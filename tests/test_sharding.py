@@ -24,9 +24,11 @@ def test_sharded_render_statistically_matches(cornell_small, mesh):
     expectation with the single-device render."""
     scene, settings = cornell_small
     n_iters = 32
+    from pathtracer_tpu.engine.wavefront import lanes_to_image
+
     single = render_chunk(scene, settings, zero_accum(settings), jnp.int32(1),
                           n_iters, 0, True)
-    img1 = np.asarray(single.to_array()) / n_iters
+    img1 = lanes_to_image(single * (1.0 / n_iters), settings).reshape(-1, 3)
 
     img2 = np.asarray(render_sharded(scene, settings, mesh,
                                      iterations=n_iters, chunk=n_iters))
@@ -78,13 +80,15 @@ def test_persistent_sharded_bitexact_vs_single(cornell_small, mesh):
     order."""
     from pathtracer_tpu.parallel.sharding import render_persistent_sharded
 
+    from pathtracer_tpu.engine.wavefront import lanes_to_image
+
     scene, settings = cornell_small
     spp = 8
     img_s = np.asarray(render_persistent_sharded(scene, settings, mesh,
                                                  iterations=spp))
     single = render_chunk(scene, settings, zero_accum(settings), jnp.int32(1),
                           spp, 0, True)
-    img_1 = np.asarray(single.to_array()).reshape(img_s.shape) / spp
+    img_1 = lanes_to_image(single * (1.0 / spp), settings)
     np.testing.assert_allclose(img_s, img_1, rtol=1e-4, atol=1e-5)
 
 
