@@ -75,32 +75,29 @@ def main():
                   f"{start_iteration} spp")
 
     t0 = time.perf_counter()
+    final = {}
     if args.engine == "persistent":
         from pathtracer_tpu.engine.persistent import render_persistent
         img = render_persistent(scene, settings, seed=args.seed,
                                 chunk=max(args.chunk, 32))
     else:
+        # capture the final LANE-SPACE accumulation for checkpointing (the
+        # returned image is unmapped to row-major pixel order)
         img = render(scene, settings, seed=args.seed, chunk=args.chunk,
                      early_exit=not args.no_early_exit,
-                     accum=accum, start_iteration=start_iteration)
+                     accum=accum, start_iteration=start_iteration,
+                     progress=lambda done, a: final.update(done=done, accum=a))
     dt = time.perf_counter() - t0  # render() returns a host ndarray
     n_rays = settings.pixel_count * settings.iterations
     print(f"rendered in {dt:.2f}s  "
           f"({1e3 * dt / settings.iterations:.2f} ms/iter, "
           f"{n_rays / dt / 1e6:.1f}M primary rays/s)")
 
-    if args.checkpoint and args.engine == "wavefront":
-        from pathtracer_tpu.engine.wavefront import zero_accum
+    if args.checkpoint and args.engine == "wavefront" and final:
         from pathtracer_tpu.utils.checkpoint import save_checkpoint
-        import jax.numpy as _jnp
-        total = start_iteration + settings.iterations
-        # re-derive the final accumulation sum from the averaged image
-        from pathtracer_tpu.utils.vec import Vec3 as _V
-        flat = _jnp.asarray(img).reshape(-1, 3) * total
-        save_checkpoint(args.checkpoint,
-                        _V(flat[:, 0], flat[:, 1], flat[:, 2]),
-                        total, settings, seed=args.seed)
-        print(f"checkpoint -> {args.checkpoint} ({total} spp)")
+        save_checkpoint(args.checkpoint, final["accum"], final["done"],
+                        settings, seed=args.seed)
+        print(f"checkpoint -> {args.checkpoint} ({final['done']} spp)")
 
     out = args.out or reference_style_name(settings.image_name,
                                            settings.iterations)
