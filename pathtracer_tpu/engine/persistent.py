@@ -165,12 +165,14 @@ def _step(scene: SceneArrays, settings: RenderSettings, seed: int,
         bvh_impl=settings.bvh_impl, active=rb > 0)
     depth = settings.trace_depth - rb                     # per-lane depth
     u = rng.fast_uniforms_perlane(
-        rng.decision_state(seed, assign, depth, pixel_g), 4)
+        rng.decision_state(seed, assign, depth, pixel_g),
+        5 if settings.rr_start else 4)
     origin, direction, color, rb = shade(
         origin, direction, color, rb, t, normal, mat_id, scene.materials, u,
         any_glossy=settings.any_glossy,
         any_refractive=settings.any_refractive,
-        depth_quirk=settings.depth_quirk)
+        depth_quirk=settings.depth_quirk,
+        rr_depth=depth, rr_start=settings.rr_start)
 
     # --- bank finished samples into their round's lane-space buffer ----------
     done = rb == 0

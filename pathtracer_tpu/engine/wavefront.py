@@ -115,13 +115,14 @@ def bounce_step(scene: SceneArrays, settings: RenderSettings,
         scene, settings.geom_types, state.origin, state.direction,
         bvh_impl=settings.bvh_impl, active=state.remaining_bounces > 0)
 
-    u = irng.uniforms(depth, state.pixel, 4)
+    u = irng.uniforms(depth, state.pixel, 5 if settings.rr_start else 4)
     origin, direction, color, rb = shade(
         state.origin, state.direction, state.color, state.remaining_bounces,
         t, normal, mat_id, scene.materials, u,
         any_glossy=settings.any_glossy,
         any_refractive=settings.any_refractive,
-        depth_quirk=settings.depth_quirk)
+        depth_quirk=settings.depth_quirk,
+        rr_depth=depth, rr_start=settings.rr_start)
 
     # gatherImage: add lanes whose remaining_bounces just reached 0, then mark
     # them gathered (-1) so they are skipped and never double-added
@@ -155,13 +156,14 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
     payload = (state, t, normal, mat_id)
     _, (state, t, normal, mat_id) = sort_by_key_multisort(keys, payload)
 
-    u = irng.uniforms(depth, state.pixel, 4)
+    u = irng.uniforms(depth, state.pixel, 5 if settings.rr_start else 4)
     origin, direction, color, rb = shade(
         state.origin, state.direction, state.color, state.remaining_bounces,
         t, normal, mat_id, scene.materials, u,
         any_glossy=settings.any_glossy,
         any_refractive=settings.any_refractive,
-        depth_quirk=settings.depth_quirk)
+        depth_quirk=settings.depth_quirk,
+        rr_depth=depth, rr_start=settings.rr_start)
 
     newly_done = rb == 0
     contrib = Vec3.where(newly_done, color, Vec3.zeros((n,)))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..scene.types import MaterialArrays
@@ -73,11 +74,20 @@ def reflect(incident: Vec3, normal: Vec3) -> Vec3:
 
 
 def refract(incident: Vec3, normal: Vec3, eta: jnp.ndarray) -> Vec3:
-    """glm::refract: zero vector on total internal reflection."""
+    """glm::refract: zero vector on total internal reflection.
+
+    TIR lanes substitute k=1 BEFORE the sqrt: sqrt'(0) is inf, and
+    inf * (zero tangent from the select) = NaN in reverse mode — the select
+    alone does not protect gradients.
+    """
     cos_i = -incident.dot(normal)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
-    tir = k < 0.0
-    k_safe = jnp.maximum(k, 0.0)
+    # near-critical-angle lanes count as TIR: the true d(direction)/d(eta)
+    # diverges as k -> 0+ (sqrt' blows up), which is physically real but
+    # numerically fatal in reverse mode; the cutoff reflects a measure-zero
+    # sliver of directions
+    tir = k < 1e-6
+    k_safe = jnp.where(tir, 1.0, k)
     coeff = eta * cos_i - jnp.sqrt(k_safe)
     out = incident * eta + normal * coeff
     zero = Vec3.zeros(cos_i.shape, cos_i.dtype)
@@ -133,6 +143,24 @@ def gather_material(materials: MaterialArrays, mat_id: jnp.ndarray
     )
 
 
+def _branch_prob_surrogate(took_first: jnp.ndarray, p: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Value-1 weight whose GRADIENT carries branch-probability derivatives.
+
+    A probabilistic branch pick (u < p) is discrete: pathwise autodiff sees
+    zero gradient w.r.t. parameters that only move p (e.g. IOR via the
+    Schlick reflectance). Weighting the taken branch by p/stop_grad(p) (or
+    (1-p)/(1-stop_grad(p))) leaves every sample's VALUE unchanged but makes
+    the estimator's expectation differentiable:
+      E[w·f] = p·f_first + (1-p)·f_other,  dE/dθ picks up dp·(f_first-f_other)
+    — the likelihood-ratio term, fused into the pathwise estimator.
+    """
+    p0 = jax.lax.stop_gradient(p)
+    w_first = p / jnp.maximum(p0, 1e-6)
+    w_other = (1.0 - p) / jnp.maximum(1.0 - p0, 1e-6)
+    return jnp.where(took_first, w_first, w_other)
+
+
 class ScatterResult(NamedTuple):
     origin: Vec3
     direction: Vec3
@@ -182,6 +210,8 @@ def scatter_ray(direction: Vec3, hit_point: Vec3, normal: Vec3,
         mirror_dir = reflect(direction, normal).normalize()
         gloss_dir = Vec3.where(gloss_take_diffuse, diff_dir, mirror_dir)
         gloss_thr = Vec3.where(gloss_take_diffuse, m.color, m.specular_color)
+        gloss_thr = gloss_thr * _branch_prob_surrogate(gloss_take_diffuse,
+                                                       p_diffuse)
         out_dir = Vec3.where(is_gloss, gloss_dir, out_dir)
         throughput = Vec3.where(is_gloss, gloss_thr, throughput)
 
@@ -193,8 +223,11 @@ def scatter_ray(direction: Vec3, hit_point: Vec3, normal: Vec3,
         flip = jnp.where(entering, 1.0, -1.0)
         r_normal = normal * flip
         cos_i = jnp.abs(cos_i0)
-        ior_from = jnp.where(entering, 1.0, m.ior)
-        ior_to = jnp.where(entering, m.ior, 1.0)
+        # non-refractive lanes have ior=0; they are select-masked out below,
+        # but eta=inf would leak NaNs through jnp.where GRADIENTS
+        ior = jnp.where(m.ior > 0.0, m.ior, 1.0)
+        ior_from = jnp.where(entering, 1.0, ior)
+        ior_to = jnp.where(entering, ior, 1.0)
         eta = ior_from / ior_to
         reflect_prob = fresnel_schlick(cos_i, ior_from, ior_to)
         refr_dir = refract(direction, r_normal, eta)
@@ -207,6 +240,9 @@ def scatter_ray(direction: Vec3, hit_point: Vec3, normal: Vec3,
                                     hit_point + r_normal * SCATTER_EPS,
                                     hit_point - r_normal * SCATTER_EPS)
         refract_thr = Vec3.where(do_reflect, m.specular_color, m.color)
+        # Fresnel-pick probability surrogate (skip TIR lanes: forced branch)
+        refract_thr = refract_thr * jnp.where(
+            tir, 1.0, _branch_prob_surrogate(do_reflect, reflect_prob))
         out_dir = Vec3.where(is_refr, refract_out_dir, out_dir)
         out_origin = Vec3.where(is_refr, refract_origin, out_origin)
         throughput = Vec3.where(is_refr, refract_thr, throughput)
@@ -219,7 +255,8 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
           t: jnp.ndarray, normal: Vec3, mat_id: jnp.ndarray,
           materials: MaterialArrays, uniforms: jnp.ndarray,
           any_glossy: bool = True, any_refractive: bool = True,
-          depth_quirk: bool = False):
+          depth_quirk: bool = False, rr_depth: jnp.ndarray | None = None,
+          rr_start: int = 0):
     """Vectorized shadeRealMaterial (pathtrace.cu:524-571).
 
     Args:
@@ -229,6 +266,13 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
       uniforms: [N,4] (pick, u1, u2, fresnel).
       any_glossy/any_refractive: trace-time material-table capability flags
         (see scatter_ray) — dead BSDF branches are never built.
+      rr_depth/rr_start: Russian-roulette throughput termination — absent
+        from the reference (its README lists it as future work, README.md:395)
+        but required by the north star. When rr_start > 0, a path that
+        scatters at depth >= rr_start survives with probability
+        p = clamp(max(throughput), 0.05, 1) and its color is divided by p
+        (unbiased). rr_depth is the per-lane (or scalar) CURRENT depth;
+        uniforms[:, 4] is consumed as the survival draw.
       depth_quirk: replicate the CURRENT reference code's termination quirk
         (SURVEY.md §3.2c): a path whose bounce budget runs out contributes its
         raw throughput (gatherImage, pathtrace.cu:574-589). Default False =
@@ -269,6 +313,18 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
     new_color = Vec3.where(miss_active, zero, new_color)  # background black
 
     new_rb = jnp.where(do_scatter, remaining_bounces - 1, remaining_bounces)
+    if rr_start > 0:
+        # Russian roulette: unbiased stochastic termination by throughput
+        p = jnp.clip(jnp.maximum(new_color.x,
+                                 jnp.maximum(new_color.y, new_color.z)),
+                     0.05, 1.0)
+        rr_active = jnp.logical_and(do_scatter, rr_depth >= rr_start)
+        killed = jnp.logical_and(rr_active, uniforms[:, 4] >= p)
+        boost = jnp.where(jnp.logical_and(rr_active,
+                                          jnp.logical_not(killed)),
+                          1.0 / p, 1.0)
+        new_color = new_color * boost
+        new_rb = jnp.where(killed, -2, new_rb)
     if not depth_quirk:
         # depth-exhausted paths die unlit (-2: dead, never gathered)
         new_rb = jnp.where(jnp.logical_and(do_scatter, new_rb == 0), -2, new_rb)

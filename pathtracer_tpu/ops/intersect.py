@@ -64,6 +64,12 @@ def box_intersect(transform, inverse_transform, inv_transpose,
             Vec3(jnp.float32(0), jnp.float32(1), jnp.float32(0)),
             Vec3(jnp.float32(0), jnp.float32(0), jnp.float32(1))]
     for oc, dc, axis in ((qo.x, qd.x, 0), (qo.y, qd.y, 1), (qo.z, qd.z, 2)):
+        # reference divides raw (inf on axis-parallel rays); the VALUES are
+        # select-masked but an inf cotangent times a zero select-tangent is
+        # NaN in reverse mode, so clamp |dc| away from zero (1e-20 keeps the
+        # forward t beyond any scene scale)
+        dc = jnp.where(jnp.abs(dc) < 1e-20,
+                       jnp.where(dc < 0, -1e-20, 1e-20), dc)
         t1 = (-0.5 - oc) / dc
         t2 = (0.5 - oc) / dc
         ta = jnp.minimum(t1, t2)
@@ -107,7 +113,10 @@ def sphere_intersect(transform, inverse_transform, inv_transpose,
     c = ro.dot(ro) - radius * radius
     radicand = b * b - a * c
     has_root = radicand >= 0.0
-    sq = jnp.sqrt(jnp.maximum(radicand, 0.0))
+    # miss lanes substitute 1 BEFORE the sqrt: sqrt'(0) = inf would turn the
+    # zero cotangent of the miss-select into NaN in reverse mode (the same
+    # guard as ops/bsdf.py refract)
+    sq = jnp.sqrt(jnp.where(has_root, jnp.maximum(radicand, 0.0), 1.0))
     inv_a = 1.0 / a
     t1 = (-b + sq) * inv_a
     t2 = (-b - sq) * inv_a

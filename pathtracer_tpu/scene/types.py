@@ -234,6 +234,9 @@ class RenderSettings:
     # contribute raw throughput. Default False = textbook termination, which
     # matches the reference's own golden render (see ops/bsdf.py shade).
     depth_quirk: bool = False
+    # Russian-roulette throughput termination from this bounce depth on
+    # (0 = off, the reference's behavior; its README lists RR as future work).
+    rr_start: int = 0
     use_bvh: bool = True
     bvh_impl: str = "pallas"   # mesh traversal: Pallas packet kernel or "jnp"
     look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)

@@ -202,3 +202,20 @@ def test_checkified_iteration_no_nans(cornell_small):
 
     scene, settings = cornell_small
     validate_iteration(scene, settings)  # raises on any non-finite value
+
+
+def test_russian_roulette_unbiased(cornell_small):
+    """RR termination (north-star requirement; the reference lists it as
+    future work) must be UNBIASED: the RR render converges to the same image,
+    just with more variance."""
+    scene, settings = cornell_small
+    s_rr = _mode_settings(settings, rr_start=2, trace_depth=8)
+    s_no = _mode_settings(settings, trace_depth=8)
+    spp = 64
+    img_rr = np.asarray(render(scene, s_rr, iterations=spp, chunk=16))
+    img_no = np.asarray(render(scene, s_no, iterations=spp, chunk=16))
+    assert np.isfinite(img_rr).all()
+    assert abs(img_rr.mean() - img_no.mean()) < 0.02
+    brr = img_rr.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
+    bno = img_no.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
+    assert np.abs(brr - bno).mean() < 0.05

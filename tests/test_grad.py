@@ -26,6 +26,8 @@ def _loss_fn(scene, settings, param_path):
                 materials=s.materials._replace(emittance=value))
         if param_path == "cam_pos":
             return s._replace(camera=s.camera._replace(position=value))
+        if param_path == "ior":
+            return s._replace(materials=s.materials._replace(ior=value))
         raise ValueError(param_path)
 
     def get_param(s):
@@ -35,6 +37,8 @@ def _loss_fn(scene, settings, param_path):
             return s.materials.emittance
         if param_path == "cam_pos":
             return s.camera.position
+        if param_path == "ior":
+            return s.materials.ior
         raise ValueError(param_path)
 
     @jax.jit
@@ -110,3 +114,70 @@ def test_grad_zero_for_unused_material(cornell_small):
     g = np.asarray(jax.grad(loss)(p0))
     for m in unused:
         np.testing.assert_allclose(g[m], 0.0, atol=1e-8)
+
+
+def test_branch_prob_surrogate_expectation_gradient():
+    """The likelihood-ratio surrogate (ops/bsdf._branch_prob_surrogate) must
+    make the EXPECTED estimator differentiable with the correct gradient:
+    E[w(u,p)·f(u,p)] = p·f_r + (1-p)·f_t, dE/dp = f_r - f_t.
+    Checked against the analytic value on a dense uniform grid (deterministic,
+    no MC noise)."""
+    from pathtracer_tpu.ops.bsdf import _branch_prob_surrogate
+
+    f_r, f_t = 3.0, 0.5
+    u = (jnp.arange(100000, dtype=jnp.float32) + 0.5) / 100000.0
+
+    def expected(p):
+        took = u < p
+        w = _branch_prob_surrogate(took, jnp.full_like(u, p))
+        f = jnp.where(took, f_r, f_t)
+        return jnp.mean(w * f)
+
+    for p0 in (0.2, 0.5, 0.9):
+        val = float(expected(jnp.float32(p0)))
+        assert val == pytest.approx(p0 * f_r + (1 - p0) * f_t, rel=1e-3)
+        g = float(jax.grad(expected)(jnp.float32(p0)))
+        assert g == pytest.approx(f_r - f_t, rel=1e-3)
+
+
+def test_ior_gradient_finite_and_nonzero():
+    """IOR gradients through the renderer: the pure pathwise estimator sees
+    zero (eta only moves discrete events), so scatter_ray fuses the surrogate
+    into the Fresnel pick. Render-level check: gradients are finite and
+    nonzero (their sign/magnitude is an expectation-level property with high
+    single-image variance; the surrogate's correctness is verified
+    deterministically above)."""
+    import os
+
+    path = "/root/reference/scenes/test_scene.json"
+    if not os.path.exists(path):
+        pytest.skip("reference scenes unavailable")
+    from pathtracer_tpu import load_scene
+    from pathtracer_tpu.engine.wavefront import render_iteration
+
+    scene, settings = load_scene(path, overrides={"RES": [32, 32],
+                                                  "DEPTH": 4})
+
+    @jax.jit
+    def render_with_ior(ior):
+        s = scene._replace(materials=scene.materials._replace(ior=ior))
+        return render_iteration(s, settings, zero_accum(settings),
+                                jnp.int32(1), seed=0, early_exit=False)
+
+    target = render_with_ior(scene.materials.ior)
+
+    @jax.jit
+    def loss(ior):
+        img = render_with_ior(ior)
+        d = ((img.x - target.x) ** 2 + (img.y - target.y) ** 2
+             + (img.z - target.z) ** 2)
+        return d.sum() / settings.pixel_count
+
+    start = jnp.where(scene.materials.ior > 0, scene.materials.ior + 0.3,
+                      scene.materials.ior)
+    g = np.asarray(jax.grad(loss)(start))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 1e-6, "IOR gradient identically zero"
+    # non-refractive materials must get exactly zero IOR gradient
+    refr = np.asarray(scene.materials.has_refractive) > 0
+    np.testing.assert_allclose(g[~refr], 0.0, atol=1e-8)

@@ -100,3 +100,32 @@ def test_scaling_harness_runs(cornell_small, mesh):
     assert set(r) == {1, 2}
     assert r[1]["rays_per_s"] > 0 and r[2]["rays_per_s"] > 0
     assert 0 < r[2]["efficiency"]  # CPU virtual devices: no perf claim
+
+
+def test_albedo_fit_converges(cornell_small, mesh):
+    """North star: 'differentiable albedo recovery converging' — a multi-step
+    SGD fit must substantially reduce both the loss and the albedo error."""
+    scene, settings = cornell_small
+    scene_r = replicate(scene, mesh)
+    accum = shard_accum(zero_accum(settings), mesh)
+    target = render_chunk_sharded(scene_r, settings, mesh, accum,
+                                  jnp.int32(1), 1, 0, False)
+    true_albedo = np.asarray(scene.materials.color)
+
+    rng = np.random.default_rng(1)
+    wrong = np.clip(true_albedo + rng.uniform(-0.2, 0.2, true_albedo.shape),
+                    0.05, 0.95)
+    s = scene_r._replace(materials=scene_r.materials._replace(
+        color=jnp.asarray(wrong, np.float32)))
+    err0 = np.abs(wrong - true_albedo).mean()
+
+    # fixed iteration = shared randomness with the target: the loss is then
+    # noise-free self-calibration (same-sample estimator) and SGD descends
+    losses = []
+    for k in range(12):
+        s, loss = albedo_fit_step(s, settings, mesh, target,
+                                  jnp.int32(1), lr=1.0, seed=0)
+        losses.append(float(loss))
+    err = np.abs(np.asarray(s.materials.color) - true_albedo).mean()
+    assert losses[-1] < losses[0] * 0.5, f"loss did not halve: {losses}"
+    assert err < err0 * 0.7, f"albedo error {err0:.4f} -> {err:.4f}"
