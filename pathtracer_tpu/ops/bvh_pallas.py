@@ -53,9 +53,11 @@ from ..utils.vec import Vec3
 
 FLT_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts in the kernel
 OCTANT_PASSES = False     # 8 direction-masked walks/pass (measured: loses)
-BLOCK_ROWS = 32           # rays per block = BLOCK_ROWS * 128 (swept on TPU:
-#                           8/16/32 within 1%; unions saturate for incoherent
-#                           secondary rays, so bigger blocks amortize better)
+BLOCK_ROWS = 64           # rays per block = BLOCK_ROWS * 128. Swept on TPU
+#                           (teapot ms/frame): 8->1111, 16->1112, 32->635,
+#                           64->579, 128->579. Incoherent-bounce unions
+#                           saturate regardless, so bigger blocks amortize
+#                           the per-block walk; 64 rows = 8192 rays.
 EPS = 1e-6
 
 

@@ -110,3 +110,33 @@ def test_mtl_materials(tmp_path):
     assert glassy[0]["specular_exponent"] == 96
     # per-face assignment: faces got the two different usemtl ids
     assert t["material_id"][0] != t["material_id"][1]
+
+
+def test_missing_normals_face_fallback(tmp_path):
+    """OBJ without vn entries: per-face geometric normals (scene.cpp:382-385).
+    All three corner normals equal the face normal."""
+    p = tmp_path / "nonorm.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    tris = load_obj(str(p), -1, (0, 0, 0), (0, 0, 0), (1, 1, 1), [])
+    assert tris["v0"].shape[0] == 1
+    for k in ("n0", "n1", "n2"):
+        np.testing.assert_allclose(tris[k][0], [0, 0, 1], atol=1e-6)
+
+
+def test_cow_nonormals_loads():
+    """The reference's cow-nonormals.obj (5804 tris, no vn): exercises the
+    face-normal fallback at scale (BASELINE.md mesh table)."""
+    import os
+
+    path = "/root/reference/scenes/models/cow-nonormals.obj"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference models unavailable")
+    tris = load_obj(path, 0, (0, 0, 0), (0, 0, 0), (1, 1, 1), [])
+    assert tris["v0"].shape[0] == 5804
+    # every normal is unit-length (face normals)
+    for k in ("n0", "n1", "n2"):
+        lens = np.linalg.norm(tris[k], axis=1)
+        np.testing.assert_allclose(lens, 1.0, atol=1e-4)
+    # corners of each face share the same (face) normal
+    np.testing.assert_allclose(tris["n0"], tris["n1"], atol=1e-6)
