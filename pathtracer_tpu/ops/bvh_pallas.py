@@ -81,13 +81,21 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
     mat0 = jnp.full(shape, -1, jnp.int32)
 
     def leaf_test(tri_first, tri_count, carry):
-        """Test one row-aligned leaf (up to TRIS_PER_ROW triangles): ONE
-        dynamic row load, then static-lane extracts per triangle — no dynamic
-        roll in the hot leaf path (scene/bvh.py align_leaves)."""
-        trow = trisf_ref[pl.ds(tri_first // TRIS_PER_ROW, 1), :]
-        for j in range(TRIS_PER_ROW):
-            carry = tri_test(trow, j, j < tri_count, carry)
-        return carry
+        """Test one row-aligned leaf: per 128-lane row, ONE dynamic row load
+        + static-lane extracts per triangle — no dynamic roll in the hot leaf
+        path (scene/bvh.py align_leaves). Leaves wider than one row (max_leaf
+        > TRIS_PER_ROW) walk consecutive rows with a scalar fori."""
+        row0 = tri_first // TRIS_PER_ROW
+        n_rows = (tri_count + TRIS_PER_ROW - 1) // TRIS_PER_ROW
+
+        def row_body(r, cc):
+            trow = trisf_ref[pl.ds(row0 + r, 1), :]
+            base = r * TRIS_PER_ROW
+            for j in range(TRIS_PER_ROW):
+                cc = tri_test(trow, j, base + j < tri_count, cc)
+            return cc
+
+        return jax.lax.fori_loop(0, n_rows, row_body, carry)
 
     def tri_test(trow, j, in_leaf, carry):
         """Test triangle slot j of a loaded row against all lanes."""
@@ -279,6 +287,182 @@ def mesh_intersect_packet(scene, root_node, origin: Vec3, direction: Vec3,
         interpret=interpret,
     )(scene.bvh_packed_f, scene.bvh_packed_i, scene.tris_packed, root,
       ox, oy, oz, dx, dy, dz, act)
+
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(t), Vec3(flat(nx), flat(ny), flat(nz)), flat(mat)
+
+
+# ---------------------------------------------------------------------------
+# MXU brute-force intersector — the incoherent-bounce fast path
+# ---------------------------------------------------------------------------
+
+BRUTE_RAY_ROWS = 8    # rays per grid block = BRUTE_RAY_ROWS * 128
+
+
+def _brute_kernel(coeffs_ref, attrs_ref,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  t_ref, nx_ref, ny_ref, nz_ref, mat_ref, best_s):
+    """One (ray-block, tri-tile) grid step of the matmul intersector.
+
+    Möller–Trumbore for 512 triangles x 128 rays is ONE [2048,16]@[16,128]
+    matmul (scene/types.py pack_tris_mxu): row blocks give the determinant a,
+    u*a, v*a and t*a. Validity (u,v in the unit triangle, t >= eps) is tested
+    a-sign-free by comparing a-weighted numerators against a^2 on the VPU,
+    and the per-tile winner's attributes (corner normals + material) come
+    back through a one-hot matmul — no per-lane gathers anywhere. Grid dim 1
+    sweeps triangle tiles with a running best-hit scratch (16 planes:
+    t, u, v, n0..n2, mat); dim 0 sweeps ray blocks. Saturated diffuse
+    bounces become pure MXU + VPU streaming with zero serial pointer chases.
+    """
+    from ..scene.types import MXU_NFEAT, MXU_TRI_TILE
+
+    k = pl.program_id(1)
+    n_tri_tiles = pl.num_programs(1)
+    T_, U_, V_, N0_, MAT_ = 0, 1, 2, 3, 12   # scratch plane indices
+
+    @pl.when(k == 0)
+    def _():
+        best_s[:] = jnp.zeros_like(best_s[:])
+        best_s[T_] = jnp.full_like(best_s[T_], FLT_MAX)
+        best_s[MAT_] = jnp.full_like(best_s[MAT_], -1.0)
+
+    coeffs = coeffs_ref[:]           # [4*TILE, 16]
+    attrs_t = attrs_ref[:].T         # [16, TILE]
+
+    for r in range(BRUTE_RAY_ROWS):
+        dx = dx_ref[r:r + 1, :]      # (1, 128)
+        dy = dy_ref[r:r + 1, :]
+        dz = dz_ref[r:r + 1, :]
+        ox = ox_ref[r:r + 1, :]
+        oy = oy_ref[r:r + 1, :]
+        oz = oz_ref[r:r + 1, :]
+        cx = oy * dz - oz * dy       # o x d
+        cy = oz * dx - ox * dz
+        cz = ox * dy - oy * dx
+        one = jnp.ones_like(dx)
+        zero = jnp.zeros_like(dx)
+        feats = jnp.concatenate(
+            [dx, dy, dz, ox, oy, oz, cx, cy, cz, one]
+            + [zero] * (MXU_NFEAT - 10), axis=0)          # [16, 128]
+
+        quad = jnp.dot(coeffs, feats,
+                       preferred_element_type=jnp.float32)  # [4*TILE, 128]
+        a = quad[0 * MXU_TRI_TILE:1 * MXU_TRI_TILE]
+        un = quad[1 * MXU_TRI_TILE:2 * MXU_TRI_TILE]
+        vn = quad[2 * MXU_TRI_TILE:3 * MXU_TRI_TILE]
+        tn = quad[3 * MXU_TRI_TILE:4 * MXU_TRI_TILE]
+
+        a2 = a * a
+        ua = un * a
+        va = vn * a
+        valid = jnp.logical_and(
+            a2 > EPS * EPS,
+            jnp.logical_and(
+                jnp.logical_and(ua >= 0.0, va >= 0.0),
+                jnp.logical_and(ua + va <= a2, tn * a >= EPS * a2)))
+        inv_a = pl.reciprocal(jnp.where(valid, a, 1.0), approx=False)
+        t = jnp.where(valid, tn * inv_a, FLT_MAX)         # [TILE, 128]
+
+        t_best = jnp.min(t, axis=0, keepdims=True)        # [1, 128]
+        improved = t_best[0] < best_s[T_, r, :]
+        # first-minimum one-hot (ties arise only from duplicated geometry);
+        # Mosaic has no cumsum: pick the smallest ROW INDEX among the minima
+        is_min = jnp.logical_and(t <= t_best, t < FLT_MAX)
+        row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        idx_min = jnp.min(jnp.where(is_min, row, MXU_TRI_TILE),
+                          axis=0, keepdims=True)
+        onehot = jnp.where(jnp.logical_and(is_min, row == idx_min), 1.0, 0.0)
+
+        attr = jnp.dot(attrs_t, onehot,
+                       preferred_element_type=jnp.float32)  # [16, 128]
+        inv_w = jnp.sum(onehot * inv_a, axis=0)
+        u_w = jnp.sum(onehot * un, axis=0) * inv_w
+        v_w = jnp.sum(onehot * vn, axis=0) * inv_w
+
+        best_s[T_, r, :] = jnp.where(improved, t_best[0], best_s[T_, r, :])
+        best_s[U_, r, :] = jnp.where(improved, u_w, best_s[U_, r, :])
+        best_s[V_, r, :] = jnp.where(improved, v_w, best_s[V_, r, :])
+        for c in range(9):          # n0..n2 corner components
+            best_s[N0_ + c, r, :] = jnp.where(
+                improved, attr[c], best_s[N0_ + c, r, :])
+        best_s[MAT_, r, :] = jnp.where(improved, attr[9],
+                                       best_s[MAT_, r, :])
+
+    @pl.when(k == n_tri_tiles - 1)
+    def _():
+        t = best_s[T_]
+        u = best_s[U_]
+        v = best_s[V_]
+        w = 1.0 - u - v
+        nnx = w * best_s[3] + u * best_s[6] + v * best_s[9]
+        nny = w * best_s[4] + u * best_s[7] + v * best_s[10]
+        nnz = w * best_s[5] + u * best_s[8] + v * best_s[11]
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
+        dxa, dya, dza = dx_ref[:], dy_ref[:], dz_ref[:]
+        flip = jnp.where(dxa * nnx + dya * nny + dza * nnz > 0.0,
+                         -inv_len, inv_len)
+        missed = t >= FLT_MAX
+        t_ref[:] = jnp.where(missed, -1.0, t)
+        nx_ref[:] = nnx * flip
+        ny_ref[:] = nny * flip
+        nz_ref[:] = nnz * flip
+        mat_ref[:] = jnp.where(missed, -1,
+                               best_s[MAT_].astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mesh_intersect_brute(scene, origin: Vec3, direction: Vec3,
+                         interpret: bool = False):
+    """MXU brute-force mesh intersection over the whole ray pool.
+
+    Tests EVERY triangle of EVERY mesh (the tables concatenate all meshes)
+    against every ray via tiled matmuls — no traversal, no serial pointer
+    chases. MEASURED (teapot 6656 padded tris, 640k incoherent rays, TPU
+    v5e): 126 ms vs the packet walk's 141 ms — only ~1.1x, because the
+    contraction depth is the 16-dim feature axis, capping the MXU at ~12.5%
+    utilization; the pass runs within ~2x of the brute-force FLOP floor and
+    scales linearly with triangle count (loses to the packet walk on the 46k
+    alien). Kept as an optional intersector and as the measured endpoint of
+    the brute-force design axis. Same contract as mesh_intersect_packet;
+    true closest hit.
+    """
+    from ..scene.types import MXU_NFEAT, MXU_TRI_TILE
+
+    n = origin.x.shape[0]
+    block = BRUTE_RAY_ROWS * 128
+    n_pad = ((n + block - 1) // block) * block
+
+    def prep(a, fill):
+        return jnp.pad(a, (0, n_pad - n),
+                       constant_values=fill).reshape(-1, 128)
+
+    ox, oy, oz = (prep(c, 0.0) for c in origin)
+    dx, dy, dz = (prep(c, 1.0) for c in direction)
+
+    rows = n_pad // 128
+    grid_rays = rows // BRUTE_RAY_ROWS
+    n_tri_tiles = scene.tris_mxu_n.shape[0] // MXU_TRI_TILE
+
+    ray_spec = pl.BlockSpec((BRUTE_RAY_ROWS, 128), lambda i, k: (i, 0),
+                            memory_space=pltpu.VMEM)
+    coeff_spec = pl.BlockSpec((4 * MXU_TRI_TILE, MXU_NFEAT),
+                              lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+    attr_spec = pl.BlockSpec((MXU_TRI_TILE, MXU_NFEAT),
+                             lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4 + [
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32)]
+    t, nx, ny, nz, mat = pl.pallas_call(
+        _brute_kernel,
+        grid=(grid_rays, n_tri_tiles),
+        in_specs=[coeff_spec, attr_spec,
+                  ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec],
+        out_specs=[ray_spec] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((16, BRUTE_RAY_ROWS, 128), jnp.float32)],
+        interpret=interpret,
+    )(scene.tris_mxu_c, scene.tris_mxu_n, ox, oy, oz, dx, dy, dz)
 
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), Vec3(flat(nx), flat(ny), flat(nz)), flat(mat)

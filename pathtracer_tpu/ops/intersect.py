@@ -250,7 +250,6 @@ def mesh_intersect(scene: SceneArrays, root_node: jnp.ndarray,
     tris = scene.triangles
     inv_dir = 1.0 / direction
 
-    max_leaf = 8  # static unroll bound for leaf triangle tests
 
     ENTER, ADVANCE = jnp.int32(0), jnp.int32(1)
     node0 = jnp.broadcast_to(root_node, (n,)).astype(jnp.int32)
@@ -277,9 +276,13 @@ def mesh_intersect(scene: SceneArrays, root_node: jnp.ndarray,
             entering, jnp.logical_and(box_t >= 0.0, box_t < t_min))
 
         is_leaf = tri_count > 0
-        # Leaf: up to max_leaf contiguous triangles, unrolled (tri j masked by
-        # j < tri_count); contiguous indices keep the gathers coherent.
-        for j in range(max_leaf):
+        # Leaf: contiguous triangle range, walked with a fori over the
+        # LARGEST leaf currently live in the pool (the bound is the max
+        # tri_count gathered this step — dynamic, so any max_leaf works).
+        max_count = jnp.max(tri_count)
+
+        def leaf_body(j, carry):
+            t_min, best_tri, best_u, best_v = carry
             ti = jnp.maximum(tri_first, 0) + j
             ti = jnp.minimum(ti, tris.v0x.shape[0] - 1)
             t_tri, u, v = _triangle_t_uv(
@@ -294,6 +297,10 @@ def mesh_intersect(scene: SceneArrays, root_node: jnp.ndarray,
             best_tri = jnp.where(upd, ti, best_tri)
             best_u = jnp.where(upd, u, best_u)
             best_v = jnp.where(upd, v, best_v)
+            return t_min, best_tri, best_u, best_v
+
+        t_min, best_tri, best_u, best_v = jax.lax.fori_loop(
+            0, max_count, leaf_body, (t_min, best_tri, best_u, best_v))
 
         descend = jnp.logical_and(visit, jnp.logical_not(is_leaf))
         has_sib = sib >= 0

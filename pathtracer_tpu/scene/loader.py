@@ -130,7 +130,7 @@ def orbit_camera(cam: dict, zoom: float, theta: float, phi: float,
 
 def load_scene(path: str, orbit: bool = True,
                overrides: Optional[dict] = None,
-               max_leaf: int = 6
+               max_leaf: int = 96
                ) -> Tuple[SceneArrays, RenderSettings]:
     """Load a scene JSON; returns (device arrays, static settings).
 

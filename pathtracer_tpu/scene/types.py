@@ -83,6 +83,68 @@ NODES_PER_FROW = 16   # 16 nodes x 8 f32 fields = 128 lanes
 NODES_PER_IROW = 32   # 32 nodes x 4 i32 fields = 128 lanes
 TRIS_PER_ROW = 6      # 6 tris x 20 f32 fields = 120 lanes (+8 pad)
 TRI_STRIDE = 20
+MXU_TRI_TILE = 512    # triangles per MXU brute-force tile
+MXU_NFEAT = 16        # per-ray feature vector [d, o, o x d, 1] padded 10->16
+
+
+def pack_tris_mxu(tris: dict):
+    """Coefficient tables for the MXU brute-force intersector
+    (ops/bvh_pallas.py mesh_intersect_brute).
+
+    Moller-Trumbore per (ray, tri) reduces to FOUR quantities that are LINEAR
+    in the 10-dim per-ray feature vector F = [d, o, o x d, 1]:
+      a  = d . (e2 x e1)                       (the MT determinant)
+      un = (s x d) . e2 = (o x d) . e2 - d . (e2 x v0)      (= u * a)
+      vn = d . (s x e1) = -(o x d) . e1 - d . (v0 x e1)     (= v * a)
+      tn = s . (e1 x e2) = o . (e1 x e2) - v0 . (e1 x e2)   (= t * a)
+    so one [4*TILE, 16] @ [16, 128] matmul tests 512 triangles against 128
+    rays at once. The sign-free validity tests (u in [0,1] etc.) are then
+    a-weighted comparisons on the VPU.
+
+    Returns (coeffs [Tt*4*TILE, 16] f32, attrs [Tt*TILE, 16] f32) where attrs
+    rows are (n0, n1, n2, material_id, ...pad); triangles padded to a TILE
+    multiple with degenerate (a == 0) entries.
+    """
+    v0 = np.asarray(tris["v0"], np.float64)
+    v1 = np.asarray(tris["v1"], np.float64)
+    v2 = np.asarray(tris["v2"], np.float64)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    t = v0.shape[0]
+    tpad = -(-t // MXU_TRI_TILE) * MXU_TRI_TILE
+    n_tiles = tpad // MXU_TRI_TILE
+
+    def cr(a, b):
+        return np.cross(a, b)
+
+    ca = np.zeros((tpad, MXU_NFEAT), np.float64)
+    cu = np.zeros((tpad, MXU_NFEAT), np.float64)
+    cv = np.zeros((tpad, MXU_NFEAT), np.float64)
+    ct = np.zeros((tpad, MXU_NFEAT), np.float64)
+    ca[:t, 0:3] = cr(e2, e1)                       # a: d coefs
+    cu[:t, 0:3] = -cr(e2, v0)                      # un: d coefs
+    cu[:t, 6:9] = e2                               # un: (o x d) coefs
+    cv[:t, 0:3] = -cr(v0, e1)                      # vn: d coefs
+    cv[:t, 6:9] = -e1                              # vn: (o x d) coefs
+    n_geo = cr(e1, e2)
+    ct[:t, 3:6] = n_geo                            # tn: o coefs
+    ct[:t, 9] = -(v0 * n_geo).sum(axis=1)          # tn: const
+    # interleave per tile: [a-block; u-block; v-block; t-block] x n_tiles
+    coeffs = np.zeros((n_tiles, 4, MXU_TRI_TILE, MXU_NFEAT), np.float64)
+    for k in range(n_tiles):
+        sl = slice(k * MXU_TRI_TILE, (k + 1) * MXU_TRI_TILE)
+        coeffs[k, 0] = ca[sl]
+        coeffs[k, 1] = cu[sl]
+        coeffs[k, 2] = cv[sl]
+        coeffs[k, 3] = ct[sl]
+    coeffs = coeffs.reshape(n_tiles * 4 * MXU_TRI_TILE, MXU_NFEAT)
+
+    attrs = np.zeros((tpad, MXU_NFEAT), np.float64)
+    attrs[:t, 0:3] = np.asarray(tris["n0"], np.float64)
+    attrs[:t, 3:6] = np.asarray(tris["n1"], np.float64)
+    attrs[:t, 6:9] = np.asarray(tris["n2"], np.float64)
+    attrs[:t, 9] = np.asarray(tris["material_id"], np.float64)
+    return (jnp.asarray(coeffs, jnp.float32), jnp.asarray(attrs, jnp.float32))
 
 
 def pack_bvh_tables(nodes: dict, tris: dict):
@@ -205,6 +267,9 @@ class SceneArrays(NamedTuple):
     bvh_packed_f: jnp.ndarray  # [Rf, 128] f32
     bvh_packed_i: jnp.ndarray  # [Ri, 128] i32
     tris_packed: jnp.ndarray   # [Rt, 128] f32
+    # MXU brute-force tables (pack_tris_mxu; incoherent-bounce fast path)
+    tris_mxu_c: jnp.ndarray    # [Tt*4*512, 16] f32
+    tris_mxu_n: jnp.ndarray    # [Tt*512, 16] f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -327,6 +392,8 @@ def make_scene_arrays(
         packed_f = jnp.zeros((1, 128), F32)
         packed_i = jnp.full((1, 128), -1, I32)
         packed_t = jnp.zeros((1, 128), F32)
+        mxu_c = jnp.zeros((4 * MXU_TRI_TILE, MXU_NFEAT), F32)
+        mxu_n = jnp.zeros((MXU_TRI_TILE, MXU_NFEAT), F32)
     else:
         bmin = np.asarray(bvh_nodes["bounds_min"], dtype=np.float32)
         bmax = np.asarray(bvh_nodes["bounds_max"], dtype=np.float32)
@@ -345,6 +412,7 @@ def make_scene_arrays(
         tri_dict["material_id"] = np.asarray(bvh_tris["material_id"],
                                              dtype=np.int32)
         packed_f, packed_i, packed_t = pack_bvh_tables(bvh_nodes, tri_dict)
+        mxu_c, mxu_n = pack_tris_mxu(tri_dict)
         comps = []
         for name in ("v0", "v1", "v2", "n0", "n1", "n2"):
             arr = np.asarray(bvh_tris[name], dtype=np.float32)
@@ -365,4 +433,5 @@ def make_scene_arrays(
     return SceneArrays(geoms=geoms, materials=materials, bvh=bvh,
                        triangles=tris, camera=cam,
                        bvh_packed_f=packed_f, bvh_packed_i=packed_i,
-                       tris_packed=packed_t)
+                       tris_packed=packed_t,
+                       tris_mxu_c=mxu_c, tris_mxu_n=mxu_n)

@@ -336,3 +336,23 @@ def test_intersect_scene_picks_closest(cornell_small):
     # Ray 1 misses the sphere, hits the back wall (z=-5 + half-thickness)
     assert abs(float(t[1]) - 15.495) < 0.02
     assert int(mat[1]) == 1  # diffuse_white
+
+
+def test_brute_matches_packet():
+    """MXU brute-force intersector vs the packet walk: identical hits,
+    distances, materials, normals (both true-closest-hit)."""
+    from pathtracer_tpu.ops.bvh_pallas import (mesh_intersect_brute,
+                                               mesh_intersect_packet)
+
+    scene, v = _random_mesh_scene(64)
+    o, d = rays(300, spread=2.0, origin_z=4.0)
+    t_p, n_p, m_p = mesh_intersect_packet(scene, jnp.int32(0), as_vec3(o),
+                                          as_vec3(d), interpret=True)
+    t_b, n_b, m_b = mesh_intersect_brute(scene, as_vec3(o), as_vec3(d),
+                                         interpret=True)
+    tp, tb = np.asarray(t_p), np.asarray(t_b)
+    np.testing.assert_array_equal(tp > 0, tb > 0)
+    both = tp > 0
+    np.testing.assert_allclose(tp[both], tb[both], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_p)[both],
+                                  np.asarray(m_b)[both])
