@@ -62,15 +62,19 @@ def fast_uniforms(state: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
     return _to_unit(_pcg(lane ^ _pcg(draw * GOLDEN + state)))
 
 
-def fast_normals(state: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
-    """[n, m] standard normals via Box-Muller on hash uniforms."""
-    u = fast_uniforms(state, n, 2 * ((m + 1) // 2))
+def _box_muller(u: jnp.ndarray, m: int) -> jnp.ndarray:
+    """[n, 2k] uniforms -> [n, m] standard normals."""
     u1 = jnp.maximum(u[:, 0::2], 1e-12)
     u2 = u[:, 1::2]
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = (2.0 * jnp.pi) * u2
     out = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
     return out[:, :m]
+
+
+def fast_normals(state: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
+    """[n, m] standard normals via Box-Muller on hash uniforms."""
+    return _box_muller(fast_uniforms(state, n, 2 * ((m + 1) // 2)), m)
 
 
 def decision_state(seed, sample, depth, pixel: jnp.ndarray) -> jnp.ndarray:
@@ -104,13 +108,7 @@ def fast_uniforms_perlane(state: jnp.ndarray, m: int) -> jnp.ndarray:
 
 def fast_normals_perlane(state: jnp.ndarray, m: int) -> jnp.ndarray:
     """[n, m] standard normals from per-lane states (Box-Muller)."""
-    u = fast_uniforms_perlane(state, 2 * ((m + 1) // 2))
-    u1 = jnp.maximum(u[:, 0::2], 1e-12)
-    u2 = u[:, 1::2]
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    theta = (2.0 * jnp.pi) * u2
-    out = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
-    return out[:, :m]
+    return _box_muller(fast_uniforms_perlane(state, 2 * ((m + 1) // 2)), m)
 
 
 # ---------------------------------------------------------------------------

@@ -170,8 +170,8 @@ def compaction_indices(mask: jnp.ndarray, use_pallas: bool = True
     b = mask.astype(jnp.int32)
     live_pos = exclusive_scan(b, use_pallas)                 # rank among live
     live_count = live_pos[-1] + b[-1]
-    nb = 1 - b
-    dead_pos = jnp.cumsum(nb) - nb                           # rank among dead
+    iota = jnp.arange(n, dtype=live_pos.dtype)
+    dead_pos = iota - live_pos                               # rank among dead
     dst = jnp.where(mask, live_pos, live_count + dead_pos)
     return _scatter_perm(dst, n), live_count
 

@@ -130,7 +130,7 @@ def orbit_camera(cam: dict, zoom: float, theta: float, phi: float,
 
 def load_scene(path: str, orbit: bool = True,
                overrides: Optional[dict] = None,
-               max_leaf: int = 96
+               max_leaf: int = 96, brute_tables: bool = False
                ) -> Tuple[SceneArrays, RenderSettings]:
     """Load a scene JSON; returns (device arrays, static settings).
 
@@ -263,5 +263,6 @@ def load_scene(path: str, orbit: bool = True,
     else:
         bvh_nodes, bvh_tris = None, None
 
-    arrays = make_scene_arrays(geoms, materials, bvh_nodes, bvh_tris, cam)
+    arrays = make_scene_arrays(geoms, materials, bvh_nodes, bvh_tris, cam,
+                               brute_tables=brute_tables)
     return arrays, settings

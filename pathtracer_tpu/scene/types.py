@@ -288,7 +288,11 @@ class RenderSettings:
     jitter: bool = True          # JITTER: Gaussian AA, sigma=0.005, clamp +-0.5
     dof: bool = True             # DOF: thin-lens, active iff lens_radius > 0
     sort_materials: bool = False  # COALESCED: material-key sort each bounce
-    compact: bool = True         # STREAM_COMPACT: tile-granular work skipping
+    # STREAM_COMPACT ablation mode (tile-granular work skipping). Measured
+    # ~10x SLOWER than masked lanes on TPU (engine/wavefront.py docstring):
+    # opt-in only — a True default would silently slow any resolution whose
+    # pixel count divides compact_tile.
+    compact: bool = False
     compact_tile: int = 16384    # lanes per skippable tile (compact mode)
     fast_rng: bool = True        # PCG hash streams (vs jax threefry); see ops/rng.py
     # Material-table capability flags (set by the loader): BSDF branches no
@@ -331,9 +335,14 @@ def _pad4(m: np.ndarray) -> np.ndarray:
 
 
 def make_scene_arrays(
-    geom_list, material_list, bvh_nodes, bvh_tris, camera
+    geom_list, material_list, bvh_nodes, bvh_tris, camera,
+    brute_tables: bool = False
 ) -> SceneArrays:
-    """Build device SceneArrays from host-side Python lists/dicts (see loader)."""
+    """Build device SceneArrays from host-side Python lists/dicts (see loader).
+
+    brute_tables: also pack the MXU brute-force intersector tables (~14 MB of
+    HBM for the alien mesh) — only needed when mesh_intersect_brute is used.
+    """
     g = len(geom_list)
     geoms = GeomArrays(
         gtype=jnp.asarray([x["type"] for x in geom_list], dtype=I32),
@@ -412,7 +421,11 @@ def make_scene_arrays(
         tri_dict["material_id"] = np.asarray(bvh_tris["material_id"],
                                              dtype=np.int32)
         packed_f, packed_i, packed_t = pack_bvh_tables(bvh_nodes, tri_dict)
-        mxu_c, mxu_n = pack_tris_mxu(tri_dict)
+        if brute_tables:
+            mxu_c, mxu_n = pack_tris_mxu(tri_dict)
+        else:
+            mxu_c = jnp.zeros((4 * MXU_TRI_TILE, MXU_NFEAT), F32)
+            mxu_n = jnp.zeros((MXU_TRI_TILE, MXU_NFEAT), F32)
         comps = []
         for name in ("v0", "v1", "v2", "n0", "n1", "n2"):
             arr = np.asarray(bvh_tris[name], dtype=np.float32)

@@ -64,6 +64,10 @@ def main():
           f"tris={scene.triangles.v0x.shape[0]}")
 
     start_iteration, accum = 0, None
+    if args.checkpoint and args.engine == "persistent":
+        ap.error("--checkpoint is only supported with --engine wavefront "
+                 "(the persistent engine's in-flight lane state is not "
+                 "checkpointable yet)")
     if args.checkpoint:
         import os as _os
         if _os.path.exists(args.checkpoint):
@@ -99,8 +103,8 @@ def main():
                         settings, seed=args.seed)
         print(f"checkpoint -> {args.checkpoint} ({final['done']} spp)")
 
-    out = args.out or reference_style_name(settings.image_name,
-                                           settings.iterations)
+    total_spp = start_iteration + settings.iterations
+    out = args.out or reference_style_name(settings.image_name, total_spp)
     save_png(img, out)
     print(f"saved {out}")
     if args.hdr:

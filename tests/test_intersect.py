@@ -184,7 +184,8 @@ def _random_mesh_scene(n_tris=64):
     cam = {"position": (0, 0, 5), "view": (0, 0, -1), "up": (0, 1, 0),
            "right": (1, 0, 0), "pixel_length": (0.01, 0.01),
            "lens_radius": 0.0, "focal_distance": 10.0}
-    scene = make_scene_arrays(geoms, mats, nodes, reordered, cam)
+    scene = make_scene_arrays(geoms, mats, nodes, reordered, cam,
+                              brute_tables=True)
     return scene, v
 
 

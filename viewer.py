@@ -38,7 +38,8 @@ def main():
     import numpy as np
 
     from pathtracer_tpu import load_scene
-    from pathtracer_tpu.engine.wavefront import render_chunk, zero_accum
+    from pathtracer_tpu.engine.wavefront import (lanes_to_image, render_chunk,
+                                                 zero_accum)
     from pathtracer_tpu.io.image import reference_style_name, save_png
     from pathtracer_tpu.scene.loader import derive_camera, orbit_camera
     from pathtracer_tpu.scene.types import make_scene_arrays
@@ -89,8 +90,8 @@ def main():
                              args.spp_per_step, args.seed, True)
         jax.block_until_ready(accum)
         iteration += args.spp_per_step
-        img = (accum * (1.0 / iteration)).to_array().reshape(
-            settings.height, settings.width, 3)
+        # lanes_to_image undoes the tile-major lane order of mesh scenes
+        img = lanes_to_image(accum * (1.0 / iteration), settings)
         save_png(np.asarray(img), args.out)
         dt = (time.perf_counter() - t0) * 1e3 / args.spp_per_step
         print(f"  {iteration} spp  ({dt:.1f} ms/frame)  -> {args.out}")
