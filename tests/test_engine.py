@@ -219,3 +219,15 @@ def test_russian_roulette_unbiased(cornell_small):
     brr = img_rr.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
     bno = img_no.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
     assert np.abs(brr - bno).mean() < 0.05
+
+
+def test_persistent_rr_bitexact_vs_masked(cornell_small):
+    """Russian roulette decisions are pixel-keyed (uniforms[:,4]), so the
+    persistent engine with RR must still match the masked engine exactly."""
+    from pathtracer_tpu.engine.persistent import render_persistent
+
+    scene, settings = cornell_small
+    s_rr = _mode_settings(settings, rr_start=2, trace_depth=6)
+    img_p = np.asarray(render_persistent(scene, s_rr, iterations=8, chunk=4))
+    img_m = np.asarray(render(scene, s_rr, iterations=8, chunk=4))
+    np.testing.assert_allclose(img_p, img_m, rtol=1e-5, atol=1e-5)
