@@ -263,7 +263,7 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
       origin/direction/color: path SoA (Vec3 of [N]).
       remaining_bounces [N] i32 (>0 live, ==0 done, <0 gathered).
       t/normal/mat_id: intersection SoA from intersect_scene.
-      uniforms: [N,4] (pick, u1, u2, fresnel).
+      uniforms: tuple of [N] draws (pick, u1, u2, fresnel[, rr]).
       any_glossy/any_refractive: trace-time material-table capability flags
         (see scatter_ray) — dead BSDF branches are never built.
       rr_depth/rr_start: Russian-roulette throughput termination — absent
@@ -272,7 +272,7 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
         scatters at depth >= rr_start survives with probability
         p = clamp(max(throughput), 0.05, 1) and its color is divided by p
         (unbiased). rr_depth is the per-lane (or scalar) CURRENT depth;
-        uniforms[:, 4] is consumed as the survival draw.
+        uniforms[4] is consumed as the survival draw.
       depth_quirk: replicate the CURRENT reference code's termination quirk
         (SURVEY.md §3.2c): a path whose bounce budget runs out contributes its
         raw throughput (gatherImage, pathtrace.cu:574-589). Default False =
@@ -297,8 +297,8 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
     hit_point = origin + direction * t
 
     sc = scatter_ray(direction, hit_point, normal, m,
-                     uniforms[:, 0], uniforms[:, 1], uniforms[:, 2],
-                     uniforms[:, 3], any_glossy=any_glossy,
+                     uniforms[0], uniforms[1], uniforms[2],
+                     uniforms[3], any_glossy=any_glossy,
                      any_refractive=any_refractive)
 
     new_origin = Vec3.where(do_scatter, sc.origin, origin)
@@ -319,7 +319,7 @@ def shade(origin: Vec3, direction: Vec3, color: Vec3,
                                  jnp.maximum(new_color.y, new_color.z)),
                      0.05, 1.0)
         rr_active = jnp.logical_and(do_scatter, rr_depth >= rr_start)
-        killed = jnp.logical_and(rr_active, uniforms[:, 4] >= p)
+        killed = jnp.logical_and(rr_active, uniforms[4] >= p)
         boost = jnp.where(jnp.logical_and(rr_active,
                                           jnp.logical_not(killed)),
                           1.0 / p, 1.0)

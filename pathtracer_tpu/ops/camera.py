@@ -76,10 +76,11 @@ def generate_camera_rays(
 
     Args:
       cam: camera parameters.
-      jitter_normals: [N, 2] standard normals for AA (sigma=0.005, clamp +-0.5,
-        pathtrace.cu:272-281), or None to disable (JITTER 0).
-      dof_uniforms: [N, 2] uniforms for the lens sample (pathtrace.cu:294-315),
-        or None to disable (DOF 0). Thin lens is active iff lens_radius > 0.
+      jitter_normals: pair of [N] standard normals for AA (sigma=0.005,
+        clamp +-0.5, pathtrace.cu:272-281), or None to disable (JITTER 0).
+      dof_uniforms: pair of [N] uniforms for the lens sample
+        (pathtrace.cu:294-315), or None to disable (DOF 0). Thin lens is
+        active iff lens_radius > 0.
       n: number of rays to generate (defaults to width*height; a sharded
         caller passes its local block size).
       pixel_offset: global index of this block's first pixel (0 single-chip;
@@ -99,8 +100,8 @@ def generate_camera_rays(
     y = (idx // width).astype(jnp.float32)
 
     if jitter_normals is not None:
-        px = x + jnp.clip(jitter_normals[:, 0] * 0.005, -0.5, 0.5)
-        py = y + jnp.clip(jitter_normals[:, 1] * 0.005, -0.5, 0.5)
+        px = x + jnp.clip(jitter_normals[0] * 0.005, -0.5, 0.5)
+        py = y + jnp.clip(jitter_normals[1] * 0.005, -0.5, 0.5)
     else:
         px, py = x, y
 
@@ -128,7 +129,7 @@ def generate_camera_rays(
                           jnp.where(denom >= 0.0, 1e-6, -1e-6), denom)
         t_focus = cam.focal_distance / denom
         p_focus = origin + d * t_focus
-        lx, ly = concentric_sample_disk(dof_uniforms[:, 0], dof_uniforms[:, 1])
+        lx, ly = concentric_sample_disk(dof_uniforms[0], dof_uniforms[1])
         lx = lx * cam.lens_radius
         ly = ly * cam.lens_radius
         o_dof = origin + right * lx + up * ly

@@ -100,15 +100,28 @@ def decision_state(seed, sample, depth, pixel: jnp.ndarray) -> jnp.ndarray:
     return _pcg(h ^ (pixel.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)))
 
 
-def fast_uniforms_perlane(state: jnp.ndarray, m: int) -> jnp.ndarray:
-    """[n, m] uniforms from per-lane uint32 states [n]."""
-    draw = jax.lax.broadcasted_iota(jnp.uint32, (state.shape[0], m), 1)
-    return _to_unit(_pcg(state[:, None] + draw * GOLDEN))
+def fast_uniforms_perlane(state: jnp.ndarray, m: int):
+    """m separate [n] uniform arrays from per-lane uint32 states [n].
+
+    Returned as a TUPLE of 1-D arrays, not an [n, m] matrix: profiling showed
+    the matrix layout (T(4,128)) made the consumer's column slices the single
+    most expensive fusion of the frame (24%); per-draw 1-D arrays are pure
+    elementwise lanes. Draw j is bitwise-identical to the old column j.
+    """
+    return tuple(_to_unit(_pcg(state + jnp.uint32(j) * GOLDEN))
+                 for j in range(m))
 
 
-def fast_normals_perlane(state: jnp.ndarray, m: int) -> jnp.ndarray:
-    """[n, m] standard normals from per-lane states (Box-Muller)."""
-    return _box_muller(fast_uniforms_perlane(state, 2 * ((m + 1) // 2)), m)
+def fast_normals_perlane(state: jnp.ndarray, m: int):
+    """m separate [n] standard-normal arrays from per-lane states."""
+    u = fast_uniforms_perlane(state, 2 * ((m + 1) // 2))
+    out = []
+    for k in range(0, len(u), 2):
+        u1 = jnp.maximum(u[k], 1e-12)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = (2.0 * jnp.pi) * u[k + 1]
+        out.extend([r * jnp.cos(theta), r * jnp.sin(theta)])
+    return tuple(out[:m])
 
 
 # ---------------------------------------------------------------------------
@@ -173,8 +186,8 @@ class IterationRng:
                                                salt=key_salt)
 
     def uniforms(self, depth, pixel_local: jnp.ndarray, m: int,
-                 salt=None) -> jnp.ndarray:
-        """[n, m] uniforms for lanes whose pixels are `pixel_local` (+offset).
+                 salt=None):
+        """m separate [n] uniform arrays for lanes at `pixel_local` (+offset).
 
         depth: bounce index, or the reserved raygen channels -1 (AA) / -2
         (DoF lens). `salt` only affects the threefry path (e.g. the tiled
@@ -188,15 +201,17 @@ class IterationRng:
         s = self.stream.fold(_u32_salt(depth))
         if salt is not None:
             s = s.fold(salt)
-        return s.uniforms(pixel_local.shape[0], m)
+        u = s.uniforms(pixel_local.shape[0], m)
+        return tuple(u[:, j] for j in range(m))
 
     def normals(self, depth, pixel_local: jnp.ndarray, m: int) -> jnp.ndarray:
         if self.fast:
             st = decision_state(self.seed, self.iteration, depth,
                                 self.pixel_map(pixel_local + self.offset))
             return fast_normals_perlane(st, m)
-        return self.stream.fold(_u32_salt(depth)).normals(
+        z = self.stream.fold(_u32_salt(depth)).normals(
             pixel_local.shape[0], m)
+        return tuple(z[:, j] for j in range(m))
 
 
 class Stream:

@@ -189,7 +189,7 @@ def test_shade_termination_semantics():
     t = jnp.array([1.0, 1.0, -1.0, 1.0], jnp.float32)
     normal = vec_const(n, (0, 0, 1))
     mat_id = jnp.array([3, 0, 0, 3], jnp.int32)  # light, diffuse, n/a, light
-    u = jnp.full((n, 4), 0.5, jnp.float32)
+    u = tuple(jnp.full((n,), 0.5, jnp.float32) for _ in range(4))
     o2, d2, c2, rb2 = shade(origin, direction, color, rb, t, normal, mat_id,
                             mats, u)
     c = to_np(c2)
