@@ -354,9 +354,23 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
     m_best = jnp.zeros((n,), dtype=jnp.int32)
     any_hit = jnp.zeros((n,), dtype=bool)
 
+    brute_done = False
     for i, gt in enumerate(geom_types):
         if gt == MESH:
-            if bvh_impl == "pallas":
+            if bvh_impl == "brute":
+                # one pass covers ALL meshes (tables are concatenated)
+                if brute_done:
+                    continue
+                from .bvh_pallas import mesh_intersect_brute
+                if scene.tris_mxu_n.shape[0] <= 512 and \
+                        scene.triangles.v0x.shape[0] > 512:
+                    raise ValueError(
+                        "bvh_impl='brute' needs load_scene(brute_tables=True)")
+                t, nrm, mat = mesh_intersect_brute(
+                    scene, origin, direction,
+                    interpret=jax.default_backend() != "tpu")
+                brute_done = True
+            elif bvh_impl == "pallas":
                 from .bvh_pallas import mesh_intersect_packet
                 t, nrm, mat = mesh_intersect_packet(
                     scene, scene.geoms.root_node[i], origin, direction,

@@ -306,8 +306,11 @@ class RenderSettings:
     # Russian-roulette throughput termination from this bounce depth on
     # (0 = off, the reference's behavior; its README lists RR as future work).
     rr_start: int = 0
-    use_bvh: bool = True
-    bvh_impl: str = "pallas"   # mesh traversal: Pallas packet kernel or "jnp"
+    # mesh intersector: "pallas" packet BVH walk (fast path), "jnp" per-ray
+    # stackless walk (reference-semantics testing), "brute" MXU brute force
+    # over all triangles (the reference's no-BVH ablation; needs
+    # load_scene(brute_tables=True))
+    bvh_impl: str = "pallas"
     look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)
     fovy_deg: float = 45.0
     # Static per-geom type tuple (SPHERE/CUBE/MESH): lets the trace-time geom

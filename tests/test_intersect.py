@@ -357,3 +357,17 @@ def test_brute_matches_packet():
     np.testing.assert_allclose(tp[both], tb[both], rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(m_p)[both],
                                   np.asarray(m_b)[both])
+
+
+def test_intersect_scene_brute_impl():
+    """bvh_impl='brute' (the reference's no-BVH ablation) through the scene
+    dispatch: matches the packet path."""
+    scene, v = _random_mesh_scene(64)
+    o, d = rays(200, spread=2.0, origin_z=4.0)
+    t_p, _, m_p = intersect_scene(scene, (2,), as_vec3(o), as_vec3(d),
+                                  bvh_impl="pallas")
+    t_b, _, m_b = intersect_scene(scene, (2,), as_vec3(o), as_vec3(d),
+                                  bvh_impl="brute")
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_b),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_b))
