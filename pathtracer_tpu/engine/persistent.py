@@ -34,7 +34,7 @@ space (pure elementwise, W in-flight round buffers), and when every lane has
 passed round r, that round's buffer flushes into the accumulation image as
 accum += roll(buf[r mod W], r·C mod n) — a contiguous rotate, one flush max
 per step. Lanes more than W-1 rounds ahead of the slowest lane briefly stall
-(W=8 makes that negligible against the straggler cost it replaces).
+(the sweep above balances it against banking traffic).
 
 RNG is keyed on (seed, sample, depth, PIXEL) — ops/rng.py decision_state —
 so this engine draws the SAME random numbers for the same logical sample as
@@ -61,7 +61,10 @@ from ..ops.intersect import intersect_scene
 from ..scene.types import RenderSettings, SceneArrays
 from ..utils.vec import Vec3
 
-WINDOW = 8  # in-flight assignment rounds (W buffers of 3x[n] f32)
+WINDOW = 4  # in-flight assignment rounds (W buffers of 3x[n] f32).
+# Swept on TPU v5e after the RNG-layout fix (cornell / open ms/frame):
+# W=4: 5.89 / 3.31,  W=8: 7.08 / 3.33,  W=16: 7.94 / 3.77 — the banking
+# traffic (W x 3 x [n] rewrites per step) dominates the window-stall cost.
 
 
 def pixel_stride(n: int) -> int:
