@@ -140,10 +140,16 @@ def _step(scene: SceneArrays, settings: RenderSettings, seed: int,
         jnp.logical_and(state.assign < spp_target,
                         state.assign <= state.flushed + (WINDOW - 1)))
     assign = jnp.where(need, state.assign + 1, state.assign)
-    # round k is the permutation i -> (i + k*C) mod n
+    # round k is the permutation i -> (i + k*C) mod n. Reduce the product mod
+    # n BEFORE adding the lane index: the raw int32 product assign*stride
+    # wraps near 2^31 at high spp (first bad round ~5428 at 800x800), and the
+    # re-wrapped sum would land lanes on pixels incongruent with
+    # _flush_round's shift = (r*C) mod n — silently biasing the image. With
+    # the reduction both operands are < n, so the sum never overflows and
+    # stays congruent with the flush for any spp.
     pixel = jnp.where(
         need,
-        (lane + assign * jnp.int32(stride)) % jnp.int32(n),
+        (lane + (assign * jnp.int32(stride)) % jnp.int32(n)) % jnp.int32(n),
         state.pixel)
     pixel_g = settings.pixel_map()(pixel + pixel_offset)
 

@@ -204,13 +204,15 @@ def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
             t, normal, mat_id = intersect_scene(
                 scene, settings.geom_types, s.origin, s.direction,
                 bvh_impl=settings.bvh_impl)
-            u = irng.uniforms(depth, s.pixel, 4, salt=k)
+            u = irng.uniforms(depth, s.pixel, 5 if settings.rr_start else 4,
+                              salt=k)
             origin, direction, color, rb = shade(
                 s.origin, s.direction, s.color, s.remaining_bounces,
                 t, normal, mat_id, scene.materials, u,
                 any_glossy=settings.any_glossy,
                 any_refractive=settings.any_refractive,
-        depth_quirk=settings.depth_quirk)
+                depth_quirk=settings.depth_quirk,
+                rr_depth=depth, rr_start=settings.rr_start)
             newly_done = rb == 0
             img = img + Vec3.where(newly_done, color, Vec3.zeros((tile,)))
             rb = jnp.where(newly_done, -1, rb)

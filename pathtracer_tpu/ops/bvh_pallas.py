@@ -69,6 +69,7 @@ def _extract(row, group: jnp.ndarray, stride: int):
 
 def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+                   tb_ref,
                    t_ref, nx_ref, ny_ref, nz_ref, mat_ref):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -76,7 +77,13 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
     inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
     shape = ox.shape
 
-    t_min0 = jnp.full(shape, FLT_MAX)
+    # Closest-hit bound from already-intersected geometry (analytic geoms run
+    # FIRST in intersect_scene): traversal starts with t_min = bound, so any
+    # subtree entirely behind a closer wall/sphere hit is pruned and lanes
+    # whose bound blocks the mesh entirely never pull their block into the
+    # tree. A mesh hit only registers if strictly closer than the bound.
+    t_bound = tb_ref[:]
+    t_min0 = t_bound
     zero = jnp.zeros(shape, jnp.float32)
     mat0 = jnp.full(shape, -1, jnp.int32)
 
@@ -231,7 +238,7 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
             cond, make_body(always),
             (root, ENTER, t_min0, zero, zero, zero, mat0))
 
-    missed = t_min >= FLT_MAX
+    missed = t_min >= t_bound     # nothing closer than the incoming bound
     t_ref[:] = jnp.where(missed, -1.0, t_min)
     nx_ref[:] = nx
     ny_ref[:] = ny
@@ -239,17 +246,21 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
     mat_ref[:] = jnp.where(missed, -1, mat)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
 def mesh_intersect_packet(scene, root_node, origin: Vec3, direction: Vec3,
-                          active=None, interpret: bool = False):
+                          active=None, t_bound=None,
+                          interpret: bool = False,
+                          block_rows: int = BLOCK_ROWS):
     """Packet-traversal mesh intersection over the whole ray pool.
 
     Same contract as ops.intersect.mesh_intersect (t [N] / normal / mat, -1 on
     miss) but TRUE closest-hit (no pruning quirk). Pads the pool to a multiple
-    of the block size.
+    of the block size. `t_bound` ([N] f32, optional) is the closest hit found
+    by earlier geometry: only strictly closer mesh hits are reported, and the
+    bound prunes traversal (see _packet_kernel).
     """
     n = origin.x.shape[0]
-    block = BLOCK_ROWS * 128
+    block = block_rows * 128
     n_pad = ((n + block - 1) // block) * block
 
     def prep(a, fill):
@@ -264,11 +275,14 @@ def mesh_intersect_packet(scene, root_node, origin: Vec3, direction: Vec3,
     else:
         act = active.astype(jnp.int32)
     act = prep(act, 0)
+    if t_bound is None:
+        t_bound = jnp.full((n,), FLT_MAX)
+    tb = prep(t_bound, 0.0)   # pad lanes are inactive anyway
     root = jnp.asarray(root_node, jnp.int32).reshape(1, 1)
 
     rows = n_pad // 128
-    grid = rows // BLOCK_ROWS
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
+    grid = rows // block_rows
+    ray_spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -281,15 +295,124 @@ def mesh_intersect_packet(scene, root_node, origin: Vec3, direction: Vec3,
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-                  ray_spec],
+                  ray_spec, ray_spec],
         out_specs=[ray_spec] * 5,
         out_shape=out_shape,
         interpret=interpret,
     )(scene.bvh_packed_f, scene.bvh_packed_i, scene.tris_packed, root,
-      ox, oy, oz, dx, dy, dz, act)
+      ox, oy, oz, dx, dy, dz, act, tb)
 
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), Vec3(flat(nx), flat(ny), flat(nz)), flat(mat)
+
+
+# ---------------------------------------------------------------------------
+# Coherence-sorted packet traversal — the secondary-bounce fast path
+# ---------------------------------------------------------------------------
+
+SORT_BLOCK_ROWS = 8   # rays per packet block in sorted mode (swept below)
+SORT_CHUNK = 8192   # rays per segmented-sort chunk (= 64 rows; a multiple of
+#                     every BLOCK_ROWS choice). Chunks are contiguous lane
+#                     runs, so origins within a chunk are already coherent
+#                     (neighboring pixels' bounce origins cluster); the sort
+#                     adds direction coherence WITHIN the chunk only — far
+#                     cheaper than a full-pool sort and just as effective,
+#                     since blocks are carved out of chunks.
+
+
+def _dir_octant(direction: Vec3) -> jnp.ndarray:
+    return ((direction.x < 0) * 4 + (direction.y < 0) * 2
+            + (direction.z < 0) * 1).astype(jnp.int32)
+
+
+def mesh_intersect_packet_sorted(scene, root_node, origin: Vec3,
+                                 direction: Vec3, active=None, t_bound=None,
+                                 interpret: bool = False,
+                                 block_rows: int = SORT_BLOCK_ROWS,
+                                 sort_chunk: int = SORT_CHUNK):
+    """Packet traversal over COHERENCE-SORTED blocks.
+
+    The packet kernel's cost is the union of its block's traversals
+    (module docstring): incoherent diffuse-bounce rays saturate the union at
+    the whole tree, which is why the unsorted walk is ~reference-class on
+    primary rays but was 21-55x slower on bounces. This wrapper restores
+    block coherence per bounce with pure data movement that XLA lowers well:
+
+      1. key each ray: mesh-candidates (active, and the root AABB is hit
+         CLOSER than the ray's current analytic bound) get their direction
+         octant 0..7; everything else gets 8, so dead/blocked rays cluster
+         into blocks that terminate at the root test instantly.
+      2. segmented multi-operand lax.sort within contiguous SORT_CHUNK runs
+         (origins are already pixel-coherent within a run; the batched
+         segment sort is much cheaper than one full-pool sort).
+      3. run the packet kernel on the sorted pool: blocks are now
+         (origin-cluster x octant)-coherent, so traversal unions stay near a
+         single ray's working set.
+      4. invert the permutation with a second segmented sort keyed by the
+         ride-along lane index (random gathers are element-serial on TPU;
+         a sort network is the fast way to move data — ops/scan.py).
+
+    Results are BIT-IDENTICAL to mesh_intersect_packet: block membership only
+    affects which nodes get visited, never a lane's own closest hit.
+    """
+    n = origin.x.shape[0]
+    chunk = min(sort_chunk, _ceil_to(n, 128))
+    n_pad = _ceil_to(n, chunk)
+
+    def prep(a, fill):
+        return jnp.pad(a, (0, n_pad - n), constant_values=fill)
+
+    if active is None:
+        act = jnp.ones((n,), jnp.bool_)
+    else:
+        act = active
+    if t_bound is None:
+        t_bound = jnp.full((n,), FLT_MAX)
+
+    root = jnp.asarray(root_node, jnp.int32)
+    bmin = Vec3(scene.bvh.min_x[root], scene.bvh.min_y[root],
+                scene.bvh.min_z[root])
+    bmax = Vec3(scene.bvh.max_x[root], scene.bvh.max_y[root],
+                scene.bvh.max_z[root])
+    # EXACTLY the kernel's root want-test (entry t0, not aabb_intersect's
+    # inside-origin exit t): excluding any lane the kernel would traverse
+    # would silently drop its hits.
+    inv_dir = 1.0 / direction
+    t_near = (bmin - origin) * inv_dir
+    t_far = (bmax - origin) * inv_dir
+    t0 = Vec3.minimum(t_near, t_far).max_component()
+    t1 = Vec3.maximum(t_near, t_far).min_component()
+    candidate = jnp.logical_and(
+        act, jnp.logical_and(t0 <= t1,
+                             jnp.logical_and(t1 > 0.0, t0 < t_bound)))
+    key = jnp.where(candidate, _dir_octant(direction), 8)
+
+    lane = (jnp.arange(n_pad, dtype=jnp.int32) % chunk)
+    ops_in = [prep(key, 9), lane,
+              prep(origin.x, 0.0), prep(origin.y, 0.0), prep(origin.z, 0.0),
+              prep(direction.x, 1.0), prep(direction.y, 1.0),
+              prep(direction.z, 1.0),
+              prep(t_bound, 0.0), prep(candidate, False)]
+    seg = [a.reshape(-1, chunk) for a in ops_in]
+    s = jax.lax.sort(seg, num_keys=1)
+    _, lane_s, ox, oy, oz, dx, dy, dz, tb, cand = [
+        a.reshape(-1) for a in s]
+
+    t, nrm, mat = mesh_intersect_packet(
+        scene, root_node, Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+        active=cand, t_bound=tb, interpret=interpret,
+        block_rows=min(block_rows, chunk // 128))
+
+    back = jax.lax.sort(
+        [lane_s.reshape(-1, chunk)] + [
+            a.reshape(-1, chunk) for a in (t, nrm.x, nrm.y, nrm.z, mat)],
+        num_keys=1)
+    t, nx, ny, nz, mat = [a.reshape(-1)[:n] for a in back[1:]]
+    return t, Vec3(nx, ny, nz), mat
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------

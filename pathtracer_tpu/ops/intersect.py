@@ -343,8 +343,15 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
 
     `geom_types` is the static per-geom type tuple (from RenderSettings), so
     the geom loop unrolls at trace time. `bvh_impl` picks the mesh traversal:
-    "pallas" = packet kernel (ops/bvh_pallas.py, the fast path; interpreted
-    off-TPU), "jnp" = per-ray stackless walk (reference-semantics testing).
+    "pallas" = packet kernel (ops/bvh_pallas.py), "sorted" = packet kernel
+    over coherence-sorted blocks (the mesh fast path), "jnp" = per-ray
+    stackless walk (reference-semantics testing), "brute" = MXU brute force.
+
+    ANALYTIC GEOMS RUN FIRST, meshes last: the closest analytic hit per lane
+    is handed to the mesh traversal as a pruning bound (t_bound), so rays
+    blocked by a closer wall/sphere never pull their packet block into the
+    tree. Merge order is min-reduction, so results are identical to the
+    interleaved order the reference uses (pathtrace.cu:441-522).
 
     Returns (t [N] > 0 on hit else -1, normal Vec3, material_id [N]).
     """
@@ -354,43 +361,56 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
     m_best = jnp.zeros((n,), dtype=jnp.int32)
     any_hit = jnp.zeros((n,), dtype=bool)
 
-    brute_done = False
-    for i, gt in enumerate(geom_types):
-        if gt == MESH:
-            if bvh_impl == "brute":
-                # one pass covers ALL meshes (tables are concatenated)
-                if brute_done:
-                    continue
-                from .bvh_pallas import mesh_intersect_brute
-                if scene.tris_mxu_n.shape[0] <= 512 and \
-                        scene.triangles.v0x.shape[0] > 512:
-                    raise ValueError(
-                        "bvh_impl='brute' needs load_scene(brute_tables=True)")
-                t, nrm, mat = mesh_intersect_brute(
-                    scene, origin, direction,
-                    interpret=jax.default_backend() != "tpu")
-                brute_done = True
-            elif bvh_impl == "pallas":
-                from .bvh_pallas import mesh_intersect_packet
-                t, nrm, mat = mesh_intersect_packet(
-                    scene, scene.geoms.root_node[i], origin, direction,
-                    active=active,
-                    interpret=jax.default_backend() != "tpu")
-            else:
-                t, nrm, mat = mesh_intersect(
-                    scene, scene.geoms.root_node[i], origin, direction)
-        else:
-            fn = sphere_intersect if gt == SPHERE else box_intersect
-            t, nrm = fn(scene.geoms.transform[i],
-                        scene.geoms.inverse_transform[i],
-                        scene.geoms.inv_transpose[i],
-                        origin, direction)
-            mat = jnp.broadcast_to(scene.geoms.material_id[i], (n,))
+    def merge(t, nrm, mat):
+        nonlocal t_best, n_best, m_best, any_hit
         upd = jnp.logical_and(t > 0.0, t < t_best)
         t_best = jnp.where(upd, t, t_best)
         n_best = Vec3.where(upd, nrm, n_best)
         m_best = jnp.where(upd, mat, m_best)
         any_hit = jnp.logical_or(any_hit, upd)
+
+    for i, gt in enumerate(geom_types):
+        if gt == MESH:
+            continue
+        fn = sphere_intersect if gt == SPHERE else box_intersect
+        t, nrm = fn(scene.geoms.transform[i],
+                    scene.geoms.inverse_transform[i],
+                    scene.geoms.inv_transpose[i],
+                    origin, direction)
+        merge(t, nrm, jnp.broadcast_to(scene.geoms.material_id[i], (n,)))
+
+    brute_done = False
+    for i, gt in enumerate(geom_types):
+        if gt != MESH:
+            continue
+        if bvh_impl == "brute":
+            # one pass covers ALL meshes (tables are concatenated)
+            if brute_done:
+                continue
+            from .bvh_pallas import mesh_intersect_brute
+            # placeholder tables are zero-row (scene/types.py), so ANY
+            # mesh scene loaded without brute_tables is rejected here —
+            # including meshes small enough to fit one tile
+            if scene.tris_mxu_n.shape[0] == 0:
+                raise ValueError(
+                    "bvh_impl='brute' needs load_scene(brute_tables=True)")
+            t, nrm, mat = mesh_intersect_brute(
+                scene, origin, direction,
+                interpret=jax.default_backend() != "tpu")
+            brute_done = True
+        elif bvh_impl in ("pallas", "sorted"):
+            from .bvh_pallas import (mesh_intersect_packet,
+                                     mesh_intersect_packet_sorted)
+            impl = (mesh_intersect_packet_sorted if bvh_impl == "sorted"
+                    else mesh_intersect_packet)
+            t, nrm, mat = impl(
+                scene, scene.geoms.root_node[i], origin, direction,
+                active=active, t_bound=t_best,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            t, nrm, mat = mesh_intersect(
+                scene, scene.geoms.root_node[i], origin, direction)
+        merge(t, nrm, mat)
 
     t_out = jnp.where(any_hit, t_best, -1.0)
     return t_out, n_best, m_best

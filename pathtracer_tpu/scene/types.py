@@ -306,7 +306,8 @@ class RenderSettings:
     # Russian-roulette throughput termination from this bounce depth on
     # (0 = off, the reference's behavior; its README lists RR as future work).
     rr_start: int = 0
-    # mesh intersector: "pallas" packet BVH walk (fast path), "jnp" per-ray
+    # mesh intersector: "sorted" packet BVH walk over coherence-sorted blocks
+    # (the mesh fast path), "pallas" unsorted packet walk, "jnp" per-ray
     # stackless walk (reference-semantics testing), "brute" MXU brute force
     # over all triangles (the reference's no-BVH ablation; needs
     # load_scene(brute_tables=True))
@@ -404,8 +405,11 @@ def make_scene_arrays(
         packed_f = jnp.zeros((1, 128), F32)
         packed_i = jnp.full((1, 128), -1, I32)
         packed_t = jnp.zeros((1, 128), F32)
-        mxu_c = jnp.zeros((4 * MXU_TRI_TILE, MXU_NFEAT), F32)
-        mxu_n = jnp.zeros((MXU_TRI_TILE, MXU_NFEAT), F32)
+        # zero-row placeholder: distinguishable from real tables, so the
+        # brute intersector can REJECT scenes loaded without brute_tables
+        # instead of silently intersecting degenerate all-zero triangles
+        mxu_c = jnp.zeros((0, MXU_NFEAT), F32)
+        mxu_n = jnp.zeros((0, MXU_NFEAT), F32)
     else:
         bmin = np.asarray(bvh_nodes["bounds_min"], dtype=np.float32)
         bmax = np.asarray(bvh_nodes["bounds_max"], dtype=np.float32)
@@ -427,8 +431,8 @@ def make_scene_arrays(
         if brute_tables:
             mxu_c, mxu_n = pack_tris_mxu(tri_dict)
         else:
-            mxu_c = jnp.zeros((4 * MXU_TRI_TILE, MXU_NFEAT), F32)
-            mxu_n = jnp.zeros((MXU_TRI_TILE, MXU_NFEAT), F32)
+            mxu_c = jnp.zeros((0, MXU_NFEAT), F32)
+            mxu_n = jnp.zeros((0, MXU_NFEAT), F32)
         comps = []
         for name in ("v0", "v1", "v2", "n0", "n1", "n2"):
             arr = np.asarray(bvh_tris[name], dtype=np.float32)

@@ -26,8 +26,12 @@ FORMAT_VERSION = 1
 
 def _fingerprint(settings: RenderSettings) -> str:
     """Settings that affect the accumulated estimate (not perf knobs)."""
+    # rr_start changes the estimator (Russian roulette on/off mid-render
+    # would mix two estimators); bvh_impl covers the pallas-vs-jnp pruning-
+    # quirk difference (ops/intersect.py mesh_intersect docstring).
     keep = ("width", "height", "trace_depth", "jitter", "dof", "fast_rng",
-            "depth_quirk", "geom_types", "any_glossy", "any_refractive")
+            "depth_quirk", "geom_types", "any_glossy", "any_refractive",
+            "rr_start", "bvh_impl")
     d = {k: getattr(settings, k) for k in keep}
     return json.dumps(d, sort_keys=True, default=list)
 

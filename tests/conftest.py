@@ -18,12 +18,10 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def cornell_path():
-    """The reference Cornell scene (read from the read-only reference mount if
-    present, else the repo's own copy)."""
-    for p in ("/root/reference/scenes/cornell.json", "scenes/cornell.json"):
-        if os.path.exists(p):
-            return p
-    pytest.skip("no cornell.json available")
+    """The Cornell scene from the repo's own self-contained fixtures."""
+    from pathtracer_tpu.scene.fixtures import scene_path
+
+    return scene_path("cornell")
 
 
 @pytest.fixture(scope="session")

@@ -20,7 +20,9 @@ from pathtracer_tpu import load_scene
 from pathtracer_tpu.engine.wavefront import render
 from pathtracer_tpu.io.image import load_png
 
-GOLDEN = "/root/reference/img/reference/REFERENCE_cornell.5000samp.png"
+from pathtracer_tpu.scene.fixtures import golden_path, scene_path
+
+GOLDEN = golden_path()
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden unavailable")
@@ -28,7 +30,7 @@ def test_cornell_matches_reference_render():
     ref = load_png(GOLDEN)
     assert ref.shape == (800, 800, 3)
 
-    scene, settings = load_scene("/root/reference/scenes/cornell.json",
+    scene, settings = load_scene(scene_path("cornell"),
                                  overrides={"RES": [64, 64], "DEPTH": 8})
     img = np.asarray(render(scene, settings, iterations=96, chunk=32))
     img = np.clip(img, 0.0, 1.0)[:, ::-1, :]  # saveImage mirror (main.cpp:407)

@@ -149,7 +149,8 @@ def test_ior_gradient_finite_and_nonzero():
     deterministically above)."""
     import os
 
-    path = "/root/reference/scenes/test_scene.json"
+    from pathtracer_tpu.scene.fixtures import scene_path
+    path = scene_path("test_scene")
     if not os.path.exists(path):
         pytest.skip("reference scenes unavailable")
     from pathtracer_tpu import load_scene

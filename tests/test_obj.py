@@ -128,7 +128,8 @@ def test_cow_nonormals_loads():
     face-normal fallback at scale (BASELINE.md mesh table)."""
     import os
 
-    path = "/root/reference/scenes/models/cow-nonormals.obj"
+    from pathtracer_tpu.scene.fixtures import model_path
+    path = model_path("cow-nonormals.obj")
     if not os.path.exists(path):
         import pytest
         pytest.skip("reference models unavailable")

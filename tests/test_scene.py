@@ -100,10 +100,11 @@ def test_cornell_loads(cornell_small):
     assert float(scene.camera.lens_radius) == pytest.approx(0.2)
 
 
-@pytest.mark.skipif(not os.path.exists("/root/reference/scenes/teapot.json"),
+@pytest.mark.skipif(False,
                     reason="reference scenes unavailable")
 def test_teapot_mesh_loads():
-    scene, settings = load_scene("/root/reference/scenes/teapot.json",
+    from pathtracer_tpu.scene.fixtures import scene_path
+    scene, settings = load_scene(scene_path("teapot"),
                                  overrides={"RES": [32, 32]})
     assert MESH in settings.geom_types
     leaf = np.asarray(scene.bvh.tri_count) > 0
@@ -111,12 +112,13 @@ def test_teapot_mesh_loads():
     assert np.asarray(scene.bvh.tri_count)[leaf].sum() == 6320
 
 
-@pytest.mark.skipif(not os.path.exists("/root/reference/scenes/animal.json"),
+@pytest.mark.skipif(False,
                     reason="reference scenes unavailable")
 def test_alien_mesh_with_mtl_loads():
     """alienanimal.obj + .mtl: per-face MTL materials are appended to the
     material table (scene.cpp:289-314 semantics)."""
-    scene, settings = load_scene("/root/reference/scenes/animal.json",
+    from pathtracer_tpu.scene.fixtures import scene_path
+    scene, settings = load_scene(scene_path("animal"),
                                  overrides={"RES": [32, 32]})
     # true triangle count (the array is padded for row-aligned leaves)
     leaf = np.asarray(scene.bvh.tri_count) > 0

@@ -19,13 +19,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCENES = "/root/reference/scenes"
-BASELINES_MS = {  # reference published numbers (BASELINE.md)
+from pathtracer_tpu.scene.fixtures import scene_path
+BASELINES_MS = {  # reference published numbers (BASELINE.md).
+    # Mesh-row caveat: the reference's BVH table times (README.md:314-321)
+    # were measured at those scenes' checked-in configs (800x800 d4 for
+    # teapot/alien); cow has no checked-in reference scene, so its 19 ms is
+    # the closest published number (BVH SAH table) — treat as indicative.
     "cornell defaults": 35.18,
     "cornell + material sort": 42.95,
-    "teapot d4 (ref: d8 BVH SAH)": 17.0,
-    "cow d4 (ref: d8 BVH SAH)": 19.0,
-    "alien d4 (ref: d8 BVH SAH)": 22.0,
+    "teapot d4": 17.0,
+    "cow d4": 19.0,
+    "alien d4": 22.0,
 }
 
 
@@ -97,8 +101,8 @@ def main():
         print(f"{name}: {ms:.3f} ms" + (f"  ({base / ms:.2f}x ref)" if base
                                         else ""))
 
-    cornell = f"{SCENES}/cornell.json"
-    open_sc = f"{SCENES}/open_test_scene.json"
+    cornell = scene_path("cornell")
+    open_sc = scene_path("open_test_scene")
 
     run("cornell defaults", cornell)
     run("cornell persistent engine", cornell, fn=bench_persistent)
@@ -112,8 +116,9 @@ def main():
         overrides={"RES": [800, 800], "DEPTH": 8})
 
     if not args.quick:
-        run("teapot d4 (ref: d8 BVH SAH)", f"{SCENES}/teapot.json", chunk=3)
-        run("alien d4 (ref: d8 BVH SAH)", f"{SCENES}/animal.json", chunk=3)
+        run("teapot d4", scene_path("teapot"), chunk=3)
+        run("cow d4", scene_path("cow"), chunk=3)
+        run("alien d4", scene_path("animal"), chunk=3)
 
     with open(args.out.replace(".md", ".json"), "w") as f:
         json.dump(rows, f, indent=1)

@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?",
-                    default="/root/reference/scenes/cornell.json")
+                    default=None)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--depth", type=int, default=4)
@@ -38,6 +38,9 @@ def main():
                                                   render_chunk_sharded,
                                                   replicate, shard_accum)
 
+    if args.scene is None:
+        from pathtracer_tpu.scene.fixtures import scene_path
+        args.scene = scene_path("cornell")
     scene, settings = load_scene(args.scene, overrides={
         "RES": [args.res, args.res], "DEPTH": args.depth})
     mesh = make_ray_mesh()

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?",
-                    default="/root/reference/scenes/cornell.json")
+                    default=None)
     ap.add_argument("--res", type=int, default=None)
     ap.add_argument("--depth", type=int, default=None)
     args = ap.parse_args()
@@ -30,6 +30,9 @@ def main():
         overrides["RES"] = [args.res, args.res]
     if args.depth:
         overrides["DEPTH"] = args.depth
+    if args.scene is None:
+        from pathtracer_tpu.scene.fixtures import scene_path
+        args.scene = scene_path("cornell")
     scene, settings = load_scene(args.scene, overrides=overrides or None)
     print(f"scene: {args.scene} {settings.width}x{settings.height} "
           f"d{settings.trace_depth}")

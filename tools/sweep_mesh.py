@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Mesh-traversal sweep harness: times ONE mesh intersect pass over realistic
+bounce rays (primary hit points + cosine-hemisphere directions) per config.
+
+Much cheaper to compile than a full engine frame, and the ray distribution is
+what actually stresses the packet kernel: coherent origins, incoherent
+directions, with the analytic-geoms closest-hit bound available.
+
+Usage: python tools/sweep_mesh.py [scene.json] [depth-tag]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def make_bounce_rays(scene, settings, seed=0):
+    """Primary rays -> first-hit -> cosine bounce rays + analytic re-bound."""
+    from pathtracer_tpu.engine.wavefront import generate_paths
+    from pathtracer_tpu.ops import rng
+    from pathtracer_tpu.ops.bsdf import cosine_hemisphere
+    from pathtracer_tpu.ops.intersect import intersect_scene
+    from pathtracer_tpu.utils.vec import Vec3
+
+    irng = rng.IterationRng(True, seed, jnp.int32(1),
+                            pixel_map=settings.pixel_map())
+    state = generate_paths(scene, settings, irng)
+    t, normal, mat = intersect_scene(scene, settings.geom_types,
+                                     state.origin, state.direction,
+                                     bvh_impl="jnp" if False else "pallas")
+    hit = t > 0.0
+    p = state.origin + state.direction * t
+    o = p + normal * 1e-3
+    u1, u2 = irng.uniforms(jnp.int32(0), state.pixel, 2)
+    d = cosine_hemisphere(normal, u1, u2)
+    # dead lanes (miss) get parked rays pointing away
+    o = Vec3.where(hit, o, state.origin)
+    d = Vec3.where(hit, d, state.direction)
+    return o, d, hit
+
+
+def analytic_bound(scene, settings, o, d):
+    from pathtracer_tpu.ops.intersect import (FLT_MAX, box_intersect,
+                                              sphere_intersect)
+    from pathtracer_tpu.scene.types import MESH, SPHERE
+
+    n = o.x.shape[0]
+    tb = jnp.full((n,), FLT_MAX)
+    for i, gt in enumerate(settings.geom_types):
+        if gt == MESH:
+            continue
+        fn = sphere_intersect if gt == SPHERE else box_intersect
+        t, _ = fn(scene.geoms.transform[i], scene.geoms.inverse_transform[i],
+                  scene.geoms.inv_transpose[i], o, d)
+        tb = jnp.where(jnp.logical_and(t > 0.0, t < tb), t, tb)
+    return tb
+
+
+def time_fn(f, *args, reps=3):
+    out = f(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def main():
+    import pathtracer_tpu.ops.bvh_pallas as bp
+    from pathtracer_tpu import load_scene
+
+    from pathtracer_tpu.scene.fixtures import scene_path
+    path = sys.argv[1] if len(sys.argv) > 1 else scene_path("teapot")
+    scene, settings = load_scene(path)
+    o, d, hit = make_bounce_rays(scene, settings)
+    tb = analytic_bound(scene, settings, o, d)
+    jax.block_until_ready((o, d, tb))
+    mesh_i = [i for i, g in enumerate(settings.geom_types) if g == 2][0]
+    root = scene.geoms.root_node[mesh_i]
+    print(f"{path}: {o.x.shape[0]} bounce rays, "
+          f"{float(jnp.mean(hit.astype(jnp.float32))):.2f} live frac",
+          flush=True)
+
+    def run_plain(block_rows):
+        f = jax.jit(lambda o, d, a, tb: bp.mesh_intersect_packet(
+            scene, root, o, d, active=a, t_bound=tb,
+            block_rows=block_rows))
+        return time_fn(f, o, d, hit, tb)
+
+    def run_sorted(block_rows, chunk):
+        f = jax.jit(lambda o, d, a, tb: bp.mesh_intersect_packet_sorted(
+            scene, root, o, d, active=a, t_bound=tb,
+            block_rows=block_rows, sort_chunk=chunk))
+        return time_fn(f, o, d, hit, tb)
+
+    for br in (64, 32):
+        print(f"plain  br={br:3d}:          {run_plain(br):8.1f} ms",
+              flush=True)
+    for br, ch in ((64, 65536), (32, 65536), (16, 65536), (8, 65536),
+                   (8, 8192), (16, 131072), (8, 131072), (4, 65536)):
+        print(f"sorted br={br:3d} ch={ch:6d}: {run_sorted(br, ch):8.1f} ms",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
