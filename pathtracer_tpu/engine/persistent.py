@@ -91,8 +91,12 @@ class LaneState(NamedTuple):
 
 
 def fresh_lanes(settings: RenderSettings, n: int | None = None,
-                accum: Vec3 | None = None) -> LaneState:
-    """All lanes parked at assignment 0 (they respawn on the first step)."""
+                accum: Vec3 | None = None, start_spp: int = 0) -> LaneState:
+    """All lanes parked at assignment `start_spp` (they respawn on the first
+    step). A drained chunk boundary IS a checkpoint: the while_loop only
+    stops when every lane has finished and flushed its target, so resuming =
+    fresh lanes at (accum, start_spp) — the pixel schedule and RNG are pure
+    functions of the assignment index, making resume bit-exact (tested)."""
     if n is None:
         n = settings.pixel_count
     # distinct buffers per field: the chunk jit donates the whole LaneState,
@@ -101,10 +105,10 @@ def fresh_lanes(settings: RenderSettings, n: int | None = None,
         origin=Vec3.zeros((n,)), direction=Vec3.zeros((n,)),
         color=Vec3.zeros((n,)),
         remaining_bounces=jnp.zeros((n,), jnp.int32),
-        assign=jnp.zeros((n,), jnp.int32),
+        assign=jnp.full((n,), start_spp, jnp.int32),
         pixel=jnp.arange(n, dtype=jnp.int32),
         round_buf=jnp.zeros((WINDOW, 3, n), jnp.float32),
-        flushed=jnp.int32(0),
+        flushed=jnp.int32(start_spp),
         accum=Vec3.zeros((n,)) if accum is None else accum,
     )
 
@@ -237,18 +241,24 @@ def render_persistent_chunk(scene: SceneArrays, settings: RenderSettings,
 
 def render_persistent(scene: SceneArrays, settings: RenderSettings,
                       iterations: int | None = None, seed: int = 0,
-                      chunk: int = 64, progress=None) -> jnp.ndarray:
-    """Full progressive render with the persistent engine; [H,W,3] average."""
+                      chunk: int = 64, progress=None,
+                      accum: Vec3 | None = None,
+                      start_iteration: int = 0) -> jnp.ndarray:
+    """Full progressive render with the persistent engine; [H,W,3] average.
+
+    `accum`/`start_iteration` resume from a drained checkpoint (same
+    contract as engine/wavefront.render; see fresh_lanes)."""
     spp = settings.iterations if iterations is None else iterations
-    state = fresh_lanes(settings)
+    state = fresh_lanes(settings, accum=accum, start_spp=start_iteration)
     stride = pixel_stride(settings.pixel_count)
-    done = 0
-    while done < spp:
-        done = min(done + chunk, spp)
+    done = start_iteration
+    total = start_iteration + spp
+    while done < total:
+        done = min(done + chunk, total)
         state = render_persistent_chunk(scene, settings, state,
                                         jnp.int32(done), seed, stride)
         if progress is not None:
             progress(done, state.accum)
     from .wavefront import lanes_to_image
-    avg = state.accum * (1.0 / jnp.float32(spp))
+    avg = state.accum * (1.0 / jnp.float32(total))
     return lanes_to_image(avg, settings)

@@ -165,15 +165,19 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
         depth_quirk=settings.depth_quirk,
         rr_depth=depth, rr_start=settings.rr_start)
 
+    # UNSORT by pixel id instead of scatter-adding into the image: XLA's TPU
+    # scatter lowers element-serial (the old .at[pixel].add path was the bulk
+    # of the 179.6 ms/frame sorted mode), while riding back through one more
+    # multi-operand sort costs ~0.2 ms and restores lane == pixel so
+    # accumulation stays elementwise.
+    _, (origin, direction, color, rb) = sort_by_key_multisort(
+        state.pixel, (origin, direction, color, rb))
+
     newly_done = rb == 0
-    contrib = Vec3.where(newly_done, color, Vec3.zeros((n,)))
-    image = Vec3(
-        image.x.at[state.pixel].add(contrib.x, unique_indices=True),
-        image.y.at[state.pixel].add(contrib.y, unique_indices=True),
-        image.z.at[state.pixel].add(contrib.z, unique_indices=True),
-    )
+    image = image + Vec3.where(newly_done, color, Vec3.zeros((n,)))
     rb = jnp.where(newly_done, -1, rb)
-    return PathState(origin, direction, color, rb, state.pixel), image
+    return PathState(origin, direction, color, rb,
+                     jnp.arange(n, dtype=jnp.int32)), image
 
 
 def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,

@@ -1,0 +1,448 @@
+"""Binned-treelet mesh intersection — the secondary-bounce fast path.
+
+WHY (measured on TPU v5e, teapot/alien bounce rays):
+
+The packet walk (ops/bvh_pallas.py) charges every block the UNION of its
+rays' traversals. Diffuse-bounce rays fan out over hemispheres, so even
+coherence-sorted 1024-ray blocks union to ~1/4 of the tree while the MEAN
+ray wants only 2-4 treelets — a ~50-100x work blowup that no sort key fixes
+(measured with tools/union_model.py). Meanwhile a chunked multi-operand
+`lax.sort` of the whole 640k pool costs ~0.2 ms on TPU (tools note: the
+remote transport result-caches identical dispatches; vary inputs when timing)
+— data movement is nearly FREE. So instead of moving the tree over blocks,
+this module moves RAYS to their triangles:
+
+  1. CULL kernel: for each ray, enumerate its wanted treelets (leaf AABBs hit
+     closer than the ray's current best-t bound) in (entry-t, id) order —
+     a flat O(candidates x T) sweep on the VPU, no tree walk, no scalar state.
+  2. BIN: one segmented lax.sort groups rays by wanted-treelet id. Treelet
+     ids are DFS/spatial order, so a block's id RANGE is small and runs of
+     equal ids are long.
+  3. STREAM kernel: each (8,128) block streams the triangle rows of the ids
+     present in it; every lane tests every streamed row against its own ray
+     (extra rows only ever ADD correct candidate hits, never wrong ones), so
+     results are exact closest-hit per lane regardless of block composition.
+  4. Iterate cull->bin->stream P times with the tightening bound (a hit in
+     the nearest treelet culls everything behind it), then finish the rare
+     lanes that still have unenumerated wants with the exact packet walk.
+
+All passes run in permuted space; ONE final segmented sort restores ray
+order. Results are bit-exact equal to mesh_intersect_packet (tested).
+
+Reference parity: this replaces meshIntersectionTest's per-thread BVH stack
+walk (reference src/intersections.cu:167-213) as the production mesh
+intersector; the reference's per-thread MIMD walk has no union waste to
+avoid, ours buys the same property with sorts the GPU would spend on
+COALESCED material sorting (pathtrace.cu:825-841).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import (TREELET_NONE, TREELETS_PER_FROW, TREELETS_PER_IROW,
+                           TRI_STRIDE, TRIS_PER_ROW)
+from ..utils.vec import Vec3
+
+FLT_MAX = 3.402823466e38
+NEG_MAX = -3.402823466e38
+CULL_ROWS = 8      # rays per cull/stream block = ROWS * 128
+STREAM_ROWS = 8
+SORT_CHUNK = 65536  # segmented-sort chunk (bins cluster within a chunk)
+PASSES = 3          # cull->bin->stream rounds before the packet fallback
+
+
+def _extract(row, group, stride: int):
+    return pltpu.roll(row, -stride * group, 1)
+
+
+# ---------------------------------------------------------------------------
+# Cull kernel: nearest-remaining wanted treelet per ray
+# ---------------------------------------------------------------------------
+
+def _cull_kernel(tre_f_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 bound_ref, pt0_ref, pid_ref, live_ref,
+                 id_ref, t0_ref):
+    """Per lane: the minimum (entry_t, id) wanted treelet STRICTLY after
+    (prev_t0, prev_id) in lexicographic order, among treelets whose AABB is
+    hit closer than the lane's bound. id = TREELET_NONE if none remain.
+
+    Pure vector sweep over all treelets — no per-treelet branching, so cost
+    is exactly T x ~50 VPU ops per block; blocks with no live lane skip the
+    sweep entirely (live lanes are sorted together by the caller).
+    """
+    n_rows = tre_f_ref.shape[0]
+
+    live_any = jnp.sum(live_ref[:]) > 0
+
+    @pl.when(live_any)
+    def _():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        inv_x = 1.0 / dx_ref[:]
+        inv_y = 1.0 / dy_ref[:]
+        inv_z = 1.0 / dz_ref[:]
+        bound = bound_ref[:]
+        prev_t0 = pt0_ref[:]
+        prev_id = pid_ref[:]
+        live = live_ref[:] > 0
+
+        best_t0 = jnp.full(ox.shape, FLT_MAX)
+        best_id = jnp.full(ox.shape, TREELET_NONE, jnp.int32)
+
+        def row_body(r, carry):
+            best_t0, best_id = carry
+            frow = tre_f_ref[pl.ds(r, 1), :]
+
+            def tre_body(k, carry):
+                best_t0, best_id = carry
+                rec = _extract(frow, k, 8)
+                tid = r * TREELETS_PER_FROW + k
+                tnx = (rec[0, 0] - ox) * inv_x
+                tfx = (rec[0, 3] - ox) * inv_x
+                tny = (rec[0, 1] - oy) * inv_y
+                tfy = (rec[0, 4] - oy) * inv_y
+                tnz = (rec[0, 2] - oz) * inv_z
+                tfz = (rec[0, 5] - oz) * inv_z
+                t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
+                                             jnp.minimum(tny, tfy)),
+                                 jnp.minimum(tnz, tfz))
+                t1 = jnp.minimum(jnp.minimum(jnp.maximum(tnx, tfx),
+                                             jnp.maximum(tny, tfy)),
+                                 jnp.maximum(tnz, tfz))
+                want = jnp.logical_and(
+                    live,
+                    jnp.logical_and(t0 <= t1,
+                                    jnp.logical_and(t1 > 0.0, t0 < bound)))
+                # strictly after the already-enumerated (prev_t0, prev_id)
+                after = jnp.logical_or(
+                    t0 > prev_t0,
+                    jnp.logical_and(t0 == prev_t0, tid > prev_id))
+                # lexicographic min among remaining wants
+                closer = jnp.logical_or(
+                    t0 < best_t0,
+                    jnp.logical_and(t0 == best_t0, tid < best_id))
+                upd = jnp.logical_and(want, jnp.logical_and(after, closer))
+                best_t0 = jnp.where(upd, t0, best_t0)
+                best_id = jnp.where(upd, tid, best_id)
+                return best_t0, best_id
+
+            return jax.lax.fori_loop(0, TREELETS_PER_FROW, tre_body,
+                                     (best_t0, best_id))
+
+        best_t0, best_id = jax.lax.fori_loop(
+            0, n_rows, row_body,
+            (best_t0, best_id))
+        id_ref[:] = best_id
+        t0_ref[:] = best_t0
+
+    @pl.when(jnp.logical_not(live_any))
+    def _():
+        id_ref[:] = jnp.full(id_ref.shape, TREELET_NONE, jnp.int32)
+        t0_ref[:] = jnp.full(t0_ref.shape, FLT_MAX)
+
+
+# ---------------------------------------------------------------------------
+# Stream kernel: triangle rows of each block's binned treelets
+# ---------------------------------------------------------------------------
+
+def _stream_kernel(tre_i_ref, trisf_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   bound_ref, id_ref,
+                   t_ref, nx_ref, ny_ref, nz_ref, mat_ref):
+    """Stream tri rows of every treelet id present in the block; each lane
+    keeps its own closest hit (initialized at its bound). Gap ids inside
+    [lo, hi] that no lane is binned to are skipped with a cheap vector test."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tid = id_ref[:]
+    bound = bound_ref[:]
+    shape = ox.shape
+
+    t_min0 = bound
+    zero = jnp.zeros(shape, jnp.float32)
+    mat0 = jnp.full(shape, -1, jnp.int32)
+
+    def tri_test(trow, j, in_row, carry):
+        t_min, nx, ny, nz, mat = carry
+        b = TRI_STRIDE * j
+        tv = trow
+        v0x, v0y, v0z = tv[0, b + 0], tv[0, b + 1], tv[0, b + 2]
+        e1x, e1y, e1z = tv[0, b + 3], tv[0, b + 4], tv[0, b + 5]
+        e2x, e2y, e2z = tv[0, b + 6], tv[0, b + 7], tv[0, b + 8]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        parallel = jnp.abs(a) < 1e-6
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        valid = jnp.logical_and(
+            jnp.logical_not(parallel),
+            jnp.logical_and(
+                jnp.logical_and(u >= 0.0, u <= 1.0),
+                jnp.logical_and(jnp.logical_and(v >= 0.0, (u + v) <= 1.0),
+                                t >= 1e-6)))
+        upd = jnp.logical_and(
+            in_row, jnp.logical_and(valid,
+                                    jnp.logical_and(t > 0.0, t < t_min)))
+        w = 1.0 - u - v
+        nnx = w * tv[0, b + 9] + u * tv[0, b + 12] + v * tv[0, b + 15]
+        nny = w * tv[0, b + 10] + u * tv[0, b + 13] + v * tv[0, b + 16]
+        nnz = w * tv[0, b + 11] + u * tv[0, b + 14] + v * tv[0, b + 17]
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
+        flip = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
+                         -inv_len, inv_len)
+        t_min = jnp.where(upd, t, t_min)
+        nx = jnp.where(upd, nnx * flip, nx)
+        ny = jnp.where(upd, nny * flip, ny)
+        nz = jnp.where(upd, nnz * flip, nz)
+        mat = jnp.where(upd, tv[0, b + 18].astype(jnp.int32), mat)
+        return t_min, nx, ny, nz, mat
+
+    # Iterate the DISTINCT treelet ids present in the block (lanes arrive
+    # sorted by id, so "next distinct id" is one masked min-reduction). A
+    # range scan [lo..hi] was measured to blow up on later passes: sparse
+    # live lanes span wide id ranges and every gap treelet cost a conditional
+    # — per-pass marginal cost grew from 2.5 to 20+ ms. This loop's trip
+    # count is exactly the number of distinct ids binned into the block.
+    valid_id = tid < TREELET_NONE
+    first_id = jnp.min(jnp.where(valid_id, tid, TREELET_NONE))
+
+    def cond(carry):
+        g = carry[0]
+        return g < TREELET_NONE
+
+    def body(carry):
+        g, cc = carry
+        irow = tre_i_ref[pl.ds(g // TREELETS_PER_IROW, 1), :]
+        iv = _extract(irow, g % TREELETS_PER_IROW, 4)
+        row0, n_rows = iv[0, 0], iv[0, 1]
+
+        def row_body(r, c):
+            trow = trisf_ref[pl.ds(row0 + r, 1), :]
+            for j in range(TRIS_PER_ROW):
+                c = tri_test(trow, j, True, c)
+            return c
+
+        cc = jax.lax.fori_loop(0, n_rows, row_body, cc)
+        g_next = jnp.min(jnp.where(tid > g, tid, TREELET_NONE))
+        return g_next, cc
+
+    init = (t_min0, zero, zero, zero, mat0)
+    _, (t_min, nx, ny, nz, mat) = jax.lax.while_loop(
+        cond, body, (first_id, init))
+
+    missed = t_min >= bound
+    t_ref[:] = jnp.where(missed, -1.0, t_min)
+    nx_ref[:] = nx
+    ny_ref[:] = ny
+    nz_ref[:] = nz
+    mat_ref[:] = jnp.where(missed, -1, mat)
+
+
+# ---------------------------------------------------------------------------
+# Host-side pipeline
+# ---------------------------------------------------------------------------
+
+def _seg_sort(chunk: int, key, *arrays):
+    """Segmented (within contiguous `chunk` runs) multi-operand stable-enough
+    sort; key must already encode any needed tie-break. ~0.2 ms / 640k x 10
+    operands on TPU v5e."""
+    out = jax.lax.sort([key.reshape(-1, chunk)]
+                       + [a.reshape(-1, chunk) for a in arrays], num_keys=1)
+    return tuple(a.reshape(-1) for a in out)
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "passes"))
+def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
+                          active=None, t_bound=None,
+                          interpret: bool = False, passes: int = PASSES):
+    """Binned-treelet mesh intersection over the whole ray pool.
+
+    Covers ALL meshes in one pass (treelets span every mesh's leaves);
+    `mesh_roots` (tuple of scalar node indices) is only used by the exact
+    packet-walk fallback for the rare lanes whose want enumeration exceeds
+    `passes`. Same contract as mesh_intersect_packet: (t [N], normal Vec3,
+    mat [N]), t = -1 where nothing is closer than `t_bound`; true closest
+    hit.
+    """
+    n = origin.x.shape[0]
+    chunk = min(SORT_CHUNK, _pad_to(n, 1024))
+    n_pad = _pad_to(n, chunk)
+
+    def prep(a, fill):
+        return jnp.pad(a, (0, n_pad - n), constant_values=fill)
+
+    act = (jnp.ones((n,), jnp.bool_) if active is None else active)
+    tb = (jnp.full((n,), FLT_MAX) if t_bound is None else t_bound)
+
+    # root candidacy (union over meshes): non-candidates can have no wants
+    # (every treelet box is inside its mesh root box), so they are dead to
+    # the whole pipeline; the initial bin clusters them and their blocks
+    # skip the cull sweep entirely.
+    cand = jnp.zeros((n,), bool)
+    for root in mesh_roots:
+        bmin = Vec3(scene.bvh.min_x[root], scene.bvh.min_y[root],
+                    scene.bvh.min_z[root])
+        bmax = Vec3(scene.bvh.max_x[root], scene.bvh.max_y[root],
+                    scene.bvh.max_z[root])
+        inv_dir = 1.0 / direction
+        t_near = (bmin - origin) * inv_dir
+        t_far = (bmax - origin) * inv_dir
+        t0 = Vec3.minimum(t_near, t_far).max_component()
+        t1 = Vec3.maximum(t_near, t_far).min_component()
+        cand = jnp.logical_or(cand, jnp.logical_and(
+            t0 <= t1, jnp.logical_and(t1 > 0.0, t0 < tb)))
+    act = jnp.logical_and(act, cand)
+
+    ox, oy, oz = (prep(c, 0.0) for c in origin)
+    dx, dy, dz = (prep(c, 1.0) for c in direction)
+    bound = prep(tb, 0.0)
+    live = prep(act, False).astype(jnp.int32)
+    lane = jnp.arange(n_pad, dtype=jnp.int32) % chunk
+
+    # best-so-far (follows the rays through every permutation)
+    bt = jnp.full((n_pad,), -1.0)
+    bnx = jnp.zeros((n_pad,))
+    bny = jnp.zeros((n_pad,))
+    bnz = jnp.zeros((n_pad,))
+    bmat = jnp.full((n_pad,), -1, jnp.int32)
+
+    # enumeration state
+    pt0 = jnp.full((n_pad,), NEG_MAX)
+    pid = jnp.full((n_pad,), -1, jnp.int32)
+
+    rows = n_pad // 128
+    grid_c = rows // CULL_ROWS
+    ray_spec_c = pl.BlockSpec((CULL_ROWS, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    ray_spec_s = pl.BlockSpec((STREAM_ROWS, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live):
+        r2 = lambda a: a.reshape(-1, 128)
+        out = pl.pallas_call(
+            _cull_kernel,
+            grid=(grid_c,),
+            in_specs=[table_spec] + [ray_spec_c] * 10,
+            out_specs=[ray_spec_c] * 2,
+            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((rows, 128), jnp.float32)],
+            interpret=interpret,
+        )(scene.treelet_f, r2(ox), r2(oy), r2(oz), r2(dx), r2(dy), r2(dz),
+          r2(bound), r2(pt0), r2(pid), r2(live))
+        return out[0].reshape(-1), out[1].reshape(-1)
+
+    def stream(ox, oy, oz, dx, dy, dz, bound, tid):
+        r2 = lambda a: a.reshape(-1, 128)
+        out = pl.pallas_call(
+            _stream_kernel,
+            grid=(rows // STREAM_ROWS,),
+            in_specs=[table_spec, table_spec] + [ray_spec_s] * 8,
+            out_specs=[ray_spec_s] * 5,
+            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
+            + [jax.ShapeDtypeStruct((rows, 128), jnp.int32)],
+            interpret=interpret,
+        )(scene.treelet_i, scene.tris_packed, r2(ox), r2(oy), r2(oz),
+          r2(dx), r2(dy), r2(dz), r2(bound), r2(tid))
+        return tuple(a.reshape(-1) for a in out)
+
+    # initial bin: cluster candidates so the first cull skips dead blocks
+    (_, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+     bt, bnx, bny, bnz, bmat) = _seg_sort(
+        chunk, 1 - live, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live,
+        lane, bt, bnx, bny, bnz, bmat)
+
+    state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+             bt, bnx, bny, bnz, bmat)
+
+    for _ in range(passes):
+        (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+         bt, bnx, bny, bnz, bmat) = state
+        # finished lanes (no want at the previous cull) are dead from here on
+        live = jnp.logical_and(live > 0, pid < TREELET_NONE).astype(jnp.int32)
+        tid, tt0 = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
+        # bin: sort by wanted id (NONE lanes cluster at segment ends)
+        (tid, ox, oy, oz, dx, dy, dz, bound, tt0, live, lane,
+         bt, bnx, bny, bnz, bmat) = _seg_sort(
+            chunk, tid, ox, oy, oz, dx, dy, dz, bound, tt0, live, lane,
+            bt, bnx, bny, bnz, bmat)
+        t, nx, ny, nz, mat = stream(ox, oy, oz, dx, dy, dz, bound, tid)
+        hit = t > 0.0
+        bt = jnp.where(hit, t, bt)
+        bnx = jnp.where(hit, nx, bnx)
+        bny = jnp.where(hit, ny, bny)
+        bnz = jnp.where(hit, nz, bnz)
+        bmat = jnp.where(hit, mat, bmat)
+        bound = jnp.where(hit, t, bound)
+        pt0, pid = tt0, tid
+        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+                 bt, bnx, bny, bnz, bmat)
+
+    # one more cull AFTER the last stream: lanes whose next want vanished
+    # under the tightened bound are done, so the exact-remaining set is far
+    # smaller than "had a want at the last cull" (measured: the conservative
+    # set sent ~half the candidates to the fallback). The rare survivors are
+    # finished exactly by the packet walk; they are clustered by the last bin
+    # sort, so small blocks stay coherent and dead blocks exit at the root.
+    (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+     bt, bnx, bny, bnz, bmat) = state
+    live = jnp.logical_and(live > 0, pid < TREELET_NONE).astype(jnp.int32)
+    tid_f, _ = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
+    remaining = jnp.logical_and(live > 0, tid_f < TREELET_NONE)
+    t, nrm, mat = _packet_fallback(scene, mesh_roots,
+                                   Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                                   remaining, bound, interpret)
+    hit = t > 0.0
+    bt = jnp.where(hit, t, bt)
+    bnx = jnp.where(hit, nrm.x, bnx)
+    bny = jnp.where(hit, nrm.y, bny)
+    bnz = jnp.where(hit, nrm.z, bnz)
+    bmat = jnp.where(hit, mat, bmat)
+
+    # restore original order
+    lane, bt, bnx, bny, bnz, bmat = _seg_sort(
+        chunk, lane, bt, bnx, bny, bnz, bmat)
+    sl = lambda a: a[:n]
+    return sl(bt), Vec3(sl(bnx), sl(bny), sl(bnz)), sl(bmat)
+
+
+def _packet_fallback(scene, mesh_roots, origin, direction, active, bound,
+                     interpret):
+    """Exact finish for lanes with unenumerated wants: per-mesh packet walk
+    with the tightened bound. `active` lanes are already clustered by the
+    last bin sort, so inactive blocks exit at the root instantly."""
+    from .bvh_pallas import mesh_intersect_packet
+
+    n = origin.x.shape[0]
+    t_best = jnp.full((n,), FLT_MAX)
+    n_best = Vec3.zeros((n,))
+    m_best = jnp.full((n,), -1, jnp.int32)
+    any_hit = jnp.zeros((n,), bool)
+    for root in mesh_roots:
+        t, nrm, mat = mesh_intersect_packet(
+            scene, root, origin, direction, active=active,
+            t_bound=jnp.minimum(bound, t_best), interpret=interpret,
+            block_rows=8)
+        upd = jnp.logical_and(t > 0.0, t < t_best)
+        t_best = jnp.where(upd, t, t_best)
+        n_best = Vec3.where(upd, nrm, n_best)
+        m_best = jnp.where(upd, mat, m_best)
+        any_hit = jnp.logical_or(any_hit, upd)
+    return (jnp.where(any_hit, t_best, -1.0), n_best, m_best)

@@ -379,6 +379,19 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
                     origin, direction)
         merge(t, nrm, jnp.broadcast_to(scene.geoms.material_id[i], (n,)))
 
+    if bvh_impl == "binned" and MESH in geom_types:
+        # one binned pass covers all meshes (ops/binned.py)
+        from .binned import mesh_intersect_binned
+        mesh_roots = tuple(scene.geoms.root_node[i]
+                           for i, gt in enumerate(geom_types) if gt == MESH)
+        t, nrm, mat = mesh_intersect_binned(
+            scene, mesh_roots, origin, direction,
+            active=active, t_bound=t_best,
+            interpret=jax.default_backend() != "tpu")
+        merge(t, nrm, mat)
+        t_out = jnp.where(any_hit, t_best, -1.0)
+        return t_out, n_best, m_best
+
     brute_done = False
     for i, gt in enumerate(geom_types):
         if gt != MESH:

@@ -83,6 +83,53 @@ NODES_PER_FROW = 16   # 16 nodes x 8 f32 fields = 128 lanes
 NODES_PER_IROW = 32   # 32 nodes x 4 i32 fields = 128 lanes
 TRIS_PER_ROW = 6      # 6 tris x 20 f32 fields = 120 lanes (+8 pad)
 TRI_STRIDE = 20
+TREELETS_PER_FROW = 16  # 16 treelets x 8 f32 fields (bounds) = 128 lanes
+TREELETS_PER_IROW = 32  # 32 treelets x 4 i32 fields (row range) = 128 lanes
+TREELET_NONE = 0x3FFFFFF  # "no treelet" id sentinel (reduction-safe int32)
+
+
+def pack_treelet_tables(nodes: dict):
+    """Treelet tables for the binned intersector (ops/binned.py).
+
+    A TREELET is a leaf of the (fat-leaf) BVH: a contiguous, row-aligned
+    triangle range with an AABB. The binned intersector never walks the tree
+    — it enumerates treelets per ray by entry distance (cull kernel) and
+    streams each treelet's triangle rows over rays sorted to share treelets
+    (stream kernel). Treelets are emitted in tri_first order, which is DFS
+    order = spatially coherent, so consecutive ids are neighbors and a
+    sorted block's id RANGE stays small.
+
+    Layout (roll-extract records, see pack_bvh_tables):
+      treelet_f [ceil(T/16), 128] f32: 8 fields
+          (min_x, min_y, min_z, max_x, max_y, max_z, pad, pad)
+      treelet_i [ceil(T/32), 128] i32: 4 fields
+          (row_first, n_rows, pad, pad)   — rows into tris_packed
+    Padding treelets carry inverted boxes (min=+inf) and n_rows=0: never
+    wanted, harmless if streamed.
+    """
+    leaf = nodes["tri_count"] > 0
+    order = np.argsort(nodes["tri_first"][leaf], kind="stable")
+    lmin = np.asarray(nodes["bounds_min"], np.float32)[leaf][order]
+    lmax = np.asarray(nodes["bounds_max"], np.float32)[leaf][order]
+    first = nodes["tri_first"][leaf][order]
+    count = nodes["tri_count"][leaf][order]
+    assert (first % TRIS_PER_ROW == 0).all()
+    T = first.shape[0]
+
+    tf = -(-T // TREELETS_PER_FROW) * TREELETS_PER_FROW
+    f = np.zeros((tf, 8), np.float32)
+    f[:, 0:3] = np.float32(np.inf)
+    f[:, 3:6] = -np.float32(np.inf)
+    f[:T, 0:3] = lmin
+    f[:T, 3:6] = lmax
+    packed_f = f.reshape(-1, 128)
+
+    ti = -(-T // TREELETS_PER_IROW) * TREELETS_PER_IROW
+    i = np.zeros((ti, 4), np.int32)
+    i[:T, 0] = first // TRIS_PER_ROW
+    i[:T, 1] = -(-count // TRIS_PER_ROW)
+    packed_i = i.reshape(-1, 128)
+    return jnp.asarray(packed_f), jnp.asarray(packed_i)
 MXU_TRI_TILE = 512    # triangles per MXU brute-force tile
 MXU_NFEAT = 16        # per-ray feature vector [d, o, o x d, 1] padded 10->16
 
@@ -267,6 +314,9 @@ class SceneArrays(NamedTuple):
     bvh_packed_f: jnp.ndarray  # [Rf, 128] f32
     bvh_packed_i: jnp.ndarray  # [Ri, 128] i32
     tris_packed: jnp.ndarray   # [Rt, 128] f32
+    # Treelet (fat-leaf) tables for the binned intersector (ops/binned.py).
+    treelet_f: jnp.ndarray     # [ceil(T/16), 128] f32 bounds
+    treelet_i: jnp.ndarray     # [ceil(T/32), 128] i32 row ranges
     # MXU brute-force tables (pack_tris_mxu; incoherent-bounce fast path)
     tris_mxu_c: jnp.ndarray    # [Tt*4*512, 16] f32
     tris_mxu_n: jnp.ndarray    # [Tt*512, 16] f32
@@ -306,10 +356,11 @@ class RenderSettings:
     # Russian-roulette throughput termination from this bounce depth on
     # (0 = off, the reference's behavior; its README lists RR as future work).
     rr_start: int = 0
-    # mesh intersector: "sorted" packet BVH walk over coherence-sorted blocks
-    # (the mesh fast path), "pallas" unsorted packet walk, "jnp" per-ray
-    # stackless walk (reference-semantics testing), "brute" MXU brute force
-    # over all triangles (the reference's no-BVH ablation; needs
+    # mesh intersector: "binned" treelet binning (ops/binned.py, the mesh
+    # fast path), "sorted" packet walk over coherence-sorted blocks,
+    # "pallas" unsorted packet walk, "jnp" per-ray stackless walk
+    # (reference-semantics testing), "brute" MXU brute force over all
+    # triangles (the reference's no-BVH ablation; needs
     # load_scene(brute_tables=True))
     bvh_impl: str = "pallas"
     look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)
@@ -405,6 +456,11 @@ def make_scene_arrays(
         packed_f = jnp.zeros((1, 128), F32)
         packed_i = jnp.full((1, 128), -1, I32)
         packed_t = jnp.zeros((1, 128), F32)
+        inf_box = np.zeros((1, 16, 8), np.float32)
+        inf_box[..., 0:3] = np.inf
+        inf_box[..., 3:6] = -np.inf
+        treelet_f = jnp.asarray(inf_box.reshape(1, 128))
+        treelet_i = jnp.zeros((1, 128), I32)
         # zero-row placeholder: distinguishable from real tables, so the
         # brute intersector can REJECT scenes loaded without brute_tables
         # instead of silently intersecting degenerate all-zero triangles
@@ -428,6 +484,7 @@ def make_scene_arrays(
         tri_dict["material_id"] = np.asarray(bvh_tris["material_id"],
                                              dtype=np.int32)
         packed_f, packed_i, packed_t = pack_bvh_tables(bvh_nodes, tri_dict)
+        treelet_f, treelet_i = pack_treelet_tables(bvh_nodes)
         if brute_tables:
             mxu_c, mxu_n = pack_tris_mxu(tri_dict)
         else:
@@ -454,4 +511,5 @@ def make_scene_arrays(
                        triangles=tris, camera=cam,
                        bvh_packed_f=packed_f, bvh_packed_i=packed_i,
                        tris_packed=packed_t,
+                       treelet_f=treelet_f, treelet_i=treelet_i,
                        tris_mxu_c=mxu_c, tris_mxu_n=mxu_n)

@@ -64,10 +64,6 @@ def main():
           f"tris={scene.triangles.v0x.shape[0]}")
 
     start_iteration, accum = 0, None
-    if args.checkpoint and args.engine == "persistent":
-        ap.error("--checkpoint is only supported with --engine wavefront "
-                 "(the persistent engine's in-flight lane state is not "
-                 "checkpointable yet)")
     if args.checkpoint:
         import os as _os
         if _os.path.exists(args.checkpoint):
@@ -81,9 +77,15 @@ def main():
     t0 = time.perf_counter()
     final = {}
     if args.engine == "persistent":
+        # persistent chunks fully drain (engine/persistent.fresh_lanes), so
+        # every chunk boundary is a clean checkpoint — same contract as the
+        # wavefront engine's accumulation checkpoints.
         from pathtracer_tpu.engine.persistent import render_persistent
         img = render_persistent(scene, settings, seed=args.seed,
-                                chunk=max(args.chunk, 32))
+                                chunk=max(args.chunk, 32),
+                                accum=accum, start_iteration=start_iteration,
+                                progress=lambda done, a: final.update(
+                                    done=done, accum=a))
     else:
         # capture the final LANE-SPACE accumulation for checkpointing (the
         # returned image is unmapped to row-major pixel order)
@@ -97,7 +99,7 @@ def main():
           f"({1e3 * dt / settings.iterations:.2f} ms/iter, "
           f"{n_rays / dt / 1e6:.1f}M primary rays/s)")
 
-    if args.checkpoint and args.engine == "wavefront" and final:
+    if args.checkpoint and final:
         from pathtracer_tpu.utils.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, final["accum"], final["done"],
                         settings, seed=args.seed)

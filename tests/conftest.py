@@ -16,6 +16,11 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (deselect with -m 'not slow')")
+
+
 @pytest.fixture(scope="session")
 def cornell_path():
     """The Cornell scene from the repo's own self-contained fixtures."""

@@ -33,6 +33,33 @@ def test_resume_bitexact(cornell_small, tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_persistent_resume_bitexact(cornell_small, tmp_path):
+    """Persistent engine: a drained chunk boundary is a checkpoint; resuming
+    from (accum, spp_done) reproduces the uninterrupted render EXACTLY (the
+    lane->pixel schedule and RNG are pure functions of the assignment index,
+    and round flushes happen in the same order either way)."""
+    from pathtracer_tpu.engine.persistent import (fresh_lanes, pixel_stride,
+                                                  render_persistent_chunk)
+
+    scene, settings = cornell_small
+    stride = pixel_stride(settings.pixel_count)
+
+    full = render_persistent_chunk(scene, settings, fresh_lanes(settings),
+                                   jnp.int32(8), 0, stride)
+
+    half = render_persistent_chunk(scene, settings, fresh_lanes(settings),
+                                   jnp.int32(4), 0, stride)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, half.accum, 4, settings, seed=0)
+    accum, done, seed = load_checkpoint(path, settings)
+    resumed = render_persistent_chunk(
+        scene, settings, fresh_lanes(settings, accum=accum, start_spp=done),
+        jnp.int32(8), seed, stride)
+
+    np.testing.assert_array_equal(np.asarray(full.accum.to_array()),
+                                  np.asarray(resumed.accum.to_array()))
+
+
 def test_fingerprint_mismatch_rejected(cornell_small, tmp_path):
     import dataclasses
 

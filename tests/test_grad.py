@@ -140,6 +140,67 @@ def test_branch_prob_surrogate_expectation_gradient():
         assert g == pytest.approx(f_r - f_t, rel=1e-3)
 
 
+def test_ior_gradient_matches_finite_difference_expectation():
+    """Expectation-level FD check of the IOR gradient through the REAL
+    scatter path: half a million refractive scatters (real RNG streams, real
+    scatter_ray incl. the fused likelihood-ratio surrogate), expectation =
+    mean of throughput-weighted smooth function of the outgoing direction.
+    Central FD at eps=0.01 realizes ~10^3 deterministic Fresnel branch flips
+    — enough that FD resolves both the continuous (refract direction moves
+    with eta) and discrete (reflect/refract pick probability) parts of
+    dE/d_ior, which autodiff must match within 5%.
+
+    Why not a full-render FD: a pathwise render's brightness is piecewise
+    constant in IOR (albedo products don't depend on geometry), so FD there
+    only sees branch flips — and a CPU-sized render realizes a handful of
+    flips, giving FD estimates with >100% spread (measured; the sum even
+    flips sign between eps choices). The expectation-level contract is
+    exactly what this test checks, at a sample count where FD converges.
+    """
+    from pathtracer_tpu.ops import rng as prng
+    from pathtracer_tpu.ops.bsdf import LaneMaterials, scatter_ray
+    from pathtracer_tpu.utils.vec import Vec3
+
+    n = 1 << 19
+    lanes = jnp.arange(n, dtype=jnp.int32)
+    st = prng.decision_state(7, 1, 0, lanes)
+    u_pick, u1, u2, u_fres, ua, ub = prng.fast_uniforms_perlane(st, 6)
+    # incident directions over the lower hemisphere (varied cos_i exercises
+    # the angle dependence of the Schlick derivative)
+    phi = 2.0 * jnp.pi * ua
+    cos_t = 0.05 + 0.9 * ub
+    sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+    d = Vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), -cos_t)
+    normal = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
+    hit = Vec3.zeros((n,))
+
+    def mats(ior):
+        one = jnp.ones(n)
+        return LaneMaterials(
+            color=Vec3(0.2 * one, 0.5 * one, 0.9 * one),
+            specular_color=Vec3(one, 0.8 * one, 0.6 * one),
+            has_reflective=jnp.zeros(n),
+            has_refractive=one,
+            ior=ior * one,
+            emittance=jnp.zeros(n),
+        )
+
+    @jax.jit
+    def loss(ior):
+        r = scatter_ray(d, hit, normal, mats(ior), u_pick, u1, u2, u_fres)
+        smooth = (3.0 + r.direction.x + 2.0 * r.direction.y
+                  + r.direction.z) / 6.0
+        f = (r.throughput.x + r.throughput.y + r.throughput.z) * smooth
+        return jnp.mean(f)
+
+    at = jnp.float32(1.55)
+    g = float(jax.grad(loss)(at))
+    eps = 0.01
+    fd = (float(loss(at + eps)) - float(loss(at - eps))) / (2 * eps)
+    assert np.isfinite(g) and abs(fd) > 1e-4
+    assert g == pytest.approx(fd, rel=0.05), f"AD {g} vs FD {fd}"
+
+
 def test_ior_gradient_finite_and_nonzero():
     """IOR gradients through the renderer: the pure pathwise estimator sees
     zero (eta only moves discrete events), so scatter_ray fuses the surrogate

@@ -62,13 +62,23 @@ def analytic_bound(scene, settings, o, d):
     return tb
 
 
-def time_fn(f, *args, reps=3):
-    out = f(*args)
+def time_fn(f, o, *args, reps=3):
+    """f(o, *args) best-of-reps ms. The first arg (a Vec3) is perturbed per
+    rep: the remote-TPU transport result-caches identical dispatches (see
+    utils/profiling._time), which silently fakes timings."""
+    import numpy as np
+
+    from pathtracer_tpu.utils.vec import Vec3
+
+    def call(k):
+        return f(Vec3(o.x + np.float32(k) * 1e-6, o.y, o.z), *args)
+
+    out = call(0)
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(reps):
+    for k in range(1, reps + 1):
         t0 = time.perf_counter()
-        out = f(*args)
+        out = call(k)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
@@ -90,25 +100,38 @@ def main():
           f"{float(jnp.mean(hit.astype(jnp.float32))):.2f} live frac",
           flush=True)
 
+    # NOTE: scene/root MUST be passed as jit ARGUMENTS: closure-captured
+    # device arrays become embedded constants, which the remote transport
+    # re-materializes per call (~11 ms per 40 MB — measured), poisoning
+    # microbenchmarks. The engine always passes scene as an argument.
     def run_plain(block_rows):
-        f = jax.jit(lambda o, d, a, tb: bp.mesh_intersect_packet(
-            scene, root, o, d, active=a, t_bound=tb,
+        f = jax.jit(lambda sc, rt, o, d, a, tb: bp.mesh_intersect_packet(
+            sc, rt, o, d, active=a, t_bound=tb,
             block_rows=block_rows))
-        return time_fn(f, o, d, hit, tb)
+        return time_fn(lambda o, *a: f(scene, root, o, *a), o, d, hit, tb)
 
     def run_sorted(block_rows, chunk):
-        f = jax.jit(lambda o, d, a, tb: bp.mesh_intersect_packet_sorted(
-            scene, root, o, d, active=a, t_bound=tb,
-            block_rows=block_rows, sort_chunk=chunk))
-        return time_fn(f, o, d, hit, tb)
+        f = jax.jit(lambda sc, rt, o, d, a, tb:
+                    bp.mesh_intersect_packet_sorted(
+                        sc, rt, o, d, active=a, t_bound=tb,
+                        block_rows=block_rows, sort_chunk=chunk))
+        return time_fn(lambda o, *a: f(scene, root, o, *a), o, d, hit, tb)
 
-    for br in (64, 32):
-        print(f"plain  br={br:3d}:          {run_plain(br):8.1f} ms",
-              flush=True)
-    for br, ch in ((64, 65536), (32, 65536), (16, 65536), (8, 65536),
-                   (8, 8192), (16, 131072), (8, 131072), (4, 65536)):
-        print(f"sorted br={br:3d} ch={ch:6d}: {run_sorted(br, ch):8.1f} ms",
-              flush=True)
+    mesh_roots = tuple(scene.geoms.root_node[i]
+                       for i, g in enumerate(settings.geom_types) if g == 2)
+
+    def run_binned(passes):
+        from pathtracer_tpu.ops.binned import mesh_intersect_binned
+        f = jax.jit(lambda sc, rts, o, d, a, tb: mesh_intersect_binned(
+            sc, rts, o, d, active=a, t_bound=tb, passes=passes))
+        return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
+                       o, d, hit, tb)
+
+    for p in (2, 3, 4):
+        print(f"binned passes={p}:      {run_binned(p):8.1f} ms", flush=True)
+    print(f"plain  br= 32:          {run_plain(32):8.1f} ms", flush=True)
+    print(f"sorted br= 32 ch=65536: {run_sorted(32, 65536):8.1f} ms",
+          flush=True)
 
 
 if __name__ == "__main__":
