@@ -248,6 +248,12 @@ def _dispatch_bounce(scene, settings, irng, depth, state, image,
         if image.x.shape[0] % tile == 0 and image.x.shape[0] > tile:
             return bounce_step_tiled(scene, settings, irng, depth, state,
                                      image, tile)
+        import warnings
+        warnings.warn(
+            f"compact=True but pool size {image.x.shape[0]} is not divisible "
+            f"by compact_tile={settings.compact_tile} (or not larger than "
+            "it); falling back to masked mode. Pick a dividing compact_tile "
+            "to get tile skipping.", stacklevel=2)
     return bounce_step(scene, settings, irng, depth, state, image)
 
 

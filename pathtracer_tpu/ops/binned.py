@@ -1,33 +1,45 @@
-"""Binned-treelet mesh intersection — the secondary-bounce fast path.
+"""Binned-treelet mesh intersection — the production mesh intersector.
 
-WHY (measured on TPU v5e, teapot/alien bounce rays):
-
-The packet walk (ops/bvh_pallas.py) charges every block the UNION of its
-rays' traversals. Diffuse-bounce rays fan out over hemispheres, so even
+WHY: the packet walk (ops/bvh_pallas.py) charges every block the UNION of
+its rays' traversals. Diffuse-bounce rays fan out over hemispheres, so even
 coherence-sorted 1024-ray blocks union to ~1/4 of the tree while the MEAN
-ray wants only 2-4 treelets — a ~50-100x work blowup that no sort key fixes
-(measured with tools/union_model.py). Meanwhile a chunked multi-operand
-`lax.sort` of the whole 640k pool costs ~0.2 ms on TPU (tools note: the
-remote transport result-caches identical dispatches; vary inputs when timing)
-— data movement is nearly FREE. So instead of moving the tree over blocks,
-this module moves RAYS to their triangles:
+ray wants only 2-4 treelets — a ~50-100x work blowup no sort key fixes
+(tools/union_model.py). Multi-operand `lax.sort` data movement is far
+cheaper than that waste, so this module moves RAYS to their triangles:
 
-  1. CULL kernel: for each ray, enumerate its wanted treelets (leaf AABBs hit
-     closer than the ray's current best-t bound) in (entry-t, id) order —
-     a flat O(candidates x T) sweep on the VPU, no tree walk, no scalar state.
-  2. BIN: one segmented lax.sort groups rays by wanted-treelet id. Treelet
-     ids are DFS/spatial order, so a block's id RANGE is small and runs of
-     equal ids are long.
-  3. STREAM kernel: each (8,128) block streams the triangle rows of the ids
-     present in it; every lane tests every streamed row against its own ray
-     (extra rows only ever ADD correct candidate hits, never wrong ones), so
-     results are exact closest-hit per lane regardless of block composition.
-  4. Iterate cull->bin->stream P times with the tightening bound (a hit in
-     the nearest treelet culls everything behind it), then finish the rare
-     lanes that still have unenumerated wants with the exact packet walk.
+  1. CULL kernel: per ray, the nearest not-yet-enumerated wanted treelet
+     (leaf AABB hit closer than the ray's bound), in (entry-t, id) order — a
+     flat super-gated sweep on the VPU (one slab test per 16-treelet group
+     decides whether the group's statically-unrolled tests run at all). No
+     tree walk, no per-lane stacks, no scalar state machine.
+  2. BIN: one segmented lax.sort groups rays by wanted id. Segments are the
+     COLUMNS of the native (rows, 128) layout — sorting along dimension 0
+     keeps the TPU tiling untouched (contiguous-chunk segments forced a
+     relayout of every operand that dominated the pass cost, measured
+     in-engine). Lanes stripe over columns, so every column sees the same id
+     distribution and rank-aligned rows (= what an (8,128) kernel block
+     reads) still share ids.
+  3. STREAM kernel: each block iterates the DISTINCT ids present in it (one
+     masked min-reduction per step, possible because lanes arrive sorted)
+     and tests each treelet's triangle rows against every lane's own ray —
+     extra rows only ADD correct candidate hits, so per-lane results are
+     exact regardless of block composition.
+  4. Iterate cull->bin->stream PASSES times with the tightening bound (a hit
+     in the nearest treelet culls everything behind it); lanes that still
+     have unenumerated wants after a final cull finish in the exact packet
+     walk (rare, and pre-clustered by the last bin).
 
 All passes run in permuted space; ONE final segmented sort restores ray
-order. Results are bit-exact equal to mesh_intersect_packet (tested).
+order. Results are bit-exact equal to mesh_intersect_packet on active lanes
+(tests/test_binned.py), and full engine renders are bit-identical.
+
+Engine-measured (TPU v5e, ms/frame at the scenes' checked-in 800x800 d4):
+  teapot  packet 358 | sorted-packet 189 | binned 104
+  alien   packet 1213 | sorted-packet 735 | binned <see BENCH.md>
+(The only trustworthy timing is engine-level frame time: the remote-TPU
+transport result-caches identical dispatches AND resolves block_until_ready
+before compute finishes, so single-call microbenchmarks lie in both
+directions; bench harnesses chain calls through a data dependency.)
 
 Reference parity: this replaces meshIntersectionTest's per-thread BVH stack
 walk (reference src/intersections.cu:167-213) as the production mesh
@@ -53,7 +65,12 @@ NEG_MAX = -3.402823466e38
 CULL_ROWS = 8      # rays per cull/stream block = ROWS * 128
 STREAM_ROWS = 8
 SORT_CHUNK = 65536  # segmented-sort chunk (bins cluster within a chunk)
-PASSES = 3          # cull->bin->stream rounds before the packet fallback
+PASSES = 2          # cull->bin->stream rounds before the packet fallback
+#                     (engine-measured optimum on teapot d4: p2=134.9,
+#                     p3=135.3, p1=143.1, p0=186.1 ms/frame)
+FALLBACK = True     # diagnostic ablation flags (trace-time)
+CAND_SORT = True
+FB_ROWS = 32        # packet-fallback block rows (teapot d4: 8->121.9, 32->104.3 ms)
 
 
 def _extract(row, group, stride: int):
@@ -64,7 +81,8 @@ def _extract(row, group, stride: int):
 # Cull kernel: nearest-remaining wanted treelet per ray
 # ---------------------------------------------------------------------------
 
-def _cull_kernel(tre_f_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _cull_kernel(tre_f_ref, sup_f_ref,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  bound_ref, pt0_ref, pid_ref, live_ref,
                  id_ref, t0_ref):
     """Per lane: the minimum (entry_t, id) wanted treelet STRICTLY after
@@ -93,20 +111,51 @@ def _cull_kernel(tre_f_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         best_t0 = jnp.full(ox.shape, FLT_MAX)
         best_id = jnp.full(ox.shape, TREELET_NONE, jnp.int32)
 
-        def row_body(r, carry):
-            best_t0, best_id = carry
-            frow = tre_f_ref[pl.ds(r, 1), :]
+        def slab(bxn, byn, bzn, bxf, byf, bzf):
+            tnx = (bxn - ox) * inv_x
+            tfx = (bxf - ox) * inv_x
+            tny = (byn - oy) * inv_y
+            tfy = (byf - oy) * inv_y
+            tnz = (bzn - oz) * inv_z
+            tfz = (bzf - oz) * inv_z
+            t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
+                                         jnp.minimum(tny, tfy)),
+                             jnp.minimum(tnz, tfz))
+            t1 = jnp.minimum(jnp.minimum(jnp.maximum(tnx, tfx),
+                                         jnp.maximum(tny, tfy)),
+                             jnp.maximum(tnz, tfz))
+            return t0, t1
 
-            def tre_body(k, carry):
+        def row_body(r, carry):
+            # SUPER gate: one slab test against the row's union box decides
+            # whether any of its 16 treelets can matter to this block —
+            # O(T/16) for blocks away from the mesh, the difference between
+            # O(cand x T) and O(cand x T/16 + wanted) on big meshes.
+            srow = sup_f_ref[pl.ds(r, 1), :]
+            s0, s1 = slab(srow[0, 0], srow[0, 1], srow[0, 2],
+                          srow[0, 3], srow[0, 4], srow[0, 5])
+            want_s = jnp.logical_and(
+                live, jnp.logical_and(s0 <= s1,
+                                      jnp.logical_and(s1 > 0.0, s0 < bound)))
+            return jax.lax.cond(
+                jnp.sum(want_s.astype(jnp.int32)) > 0,
+                lambda c: row_inner(r, c), lambda c: c, carry)
+
+        def row_inner(r, carry):
+            frow = tre_f_ref[pl.ds(r, 1), :]
+            # STATIC unroll over the row's 16 treelets: field reads become
+            # static lane extracts (frow[0, k*8+f]) instead of a dynamic
+            # pltpu.roll per treelet — the roll was pure overhead.
+            for k in range(TREELETS_PER_FROW):
                 best_t0, best_id = carry
-                rec = _extract(frow, k, 8)
+                b = 8 * k
                 tid = r * TREELETS_PER_FROW + k
-                tnx = (rec[0, 0] - ox) * inv_x
-                tfx = (rec[0, 3] - ox) * inv_x
-                tny = (rec[0, 1] - oy) * inv_y
-                tfy = (rec[0, 4] - oy) * inv_y
-                tnz = (rec[0, 2] - oz) * inv_z
-                tfz = (rec[0, 5] - oz) * inv_z
+                tnx = (frow[0, b + 0] - ox) * inv_x
+                tfx = (frow[0, b + 3] - ox) * inv_x
+                tny = (frow[0, b + 1] - oy) * inv_y
+                tfy = (frow[0, b + 4] - oy) * inv_y
+                tnz = (frow[0, b + 2] - oz) * inv_z
+                tfz = (frow[0, b + 5] - oz) * inv_z
                 t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
                                              jnp.minimum(tny, tfy)),
                                  jnp.minimum(tnz, tfz))
@@ -128,10 +177,8 @@ def _cull_kernel(tre_f_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 upd = jnp.logical_and(want, jnp.logical_and(after, closer))
                 best_t0 = jnp.where(upd, t0, best_t0)
                 best_id = jnp.where(upd, tid, best_id)
-                return best_t0, best_id
-
-            return jax.lax.fori_loop(0, TREELETS_PER_FROW, tre_body,
-                                     (best_t0, best_id))
+                carry = (best_t0, best_id)
+            return carry
 
         best_t0, best_id = jax.lax.fori_loop(
             0, n_rows, row_body,
@@ -153,9 +200,8 @@ def _stream_kernel(tre_i_ref, trisf_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    bound_ref, id_ref,
                    t_ref, nx_ref, ny_ref, nz_ref, mat_ref):
-    """Stream tri rows of every treelet id present in the block; each lane
-    keeps its own closest hit (initialized at its bound). Gap ids inside
-    [lo, hi] that no lane is binned to are skipped with a cheap vector test."""
+    """Stream tri rows of every DISTINCT treelet id present in the block;
+    each lane keeps its own closest hit (initialized at its bound)."""
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     tid = id_ref[:]
@@ -256,11 +302,22 @@ def _stream_kernel(tre_i_ref, trisf_ref,
 # ---------------------------------------------------------------------------
 
 def _seg_sort(chunk: int, key, *arrays):
-    """Segmented (within contiguous `chunk` runs) multi-operand stable-enough
-    sort; key must already encode any needed tie-break. ~0.2 ms / 640k x 10
-    operands on TPU v5e."""
-    out = jax.lax.sort([key.reshape(-1, chunk)]
-                       + [a.reshape(-1, chunk) for a in arrays], num_keys=1)
+    """Segmented multi-operand sort ALONG COLUMNS of the native (rows, 128)
+    layout: segment = one of 128 columns (every-128th lane).
+
+    Why columns, not contiguous runs: a contiguous-chunk sort needs the
+    arrays reshaped to (n/chunk, chunk) — a real TPU relayout of every
+    operand in and out, which dominated the pipeline (measured in-engine:
+    ~6 ms per pass at 16 operands; the sort network itself is cheap).
+    Sorting along dimension 0 of the (rows, 128) view keeps the native
+    tiling untouched. Lanes are striped over columns (pixel % 128), so every
+    column sees the same id distribution, and rank-aligned rows — which is
+    what an (8,128) kernel block reads — hold nearly the same ids: block
+    coherence survives without any contiguity.
+    """
+    out = jax.lax.sort([key.reshape(-1, 128)]
+                       + [a.reshape(-1, 128) for a in arrays],
+                       dimension=0, num_keys=1)
     return tuple(a.reshape(-1) for a in out)
 
 
@@ -271,7 +328,7 @@ def _pad_to(n: int, m: int) -> int:
 @functools.partial(jax.jit, static_argnames=("interpret", "passes"))
 def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
                           active=None, t_bound=None,
-                          interpret: bool = False, passes: int = PASSES):
+                          interpret: bool = False, passes: int | None = None):
     """Binned-treelet mesh intersection over the whole ray pool.
 
     Covers ALL meshes in one pass (treelets span every mesh's leaves);
@@ -281,9 +338,11 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     mat [N]), t = -1 where nothing is closer than `t_bound`; true closest
     hit.
     """
+    if passes is None:
+        passes = PASSES      # read at trace time so sweeps can retune
     n = origin.x.shape[0]
-    chunk = min(SORT_CHUNK, _pad_to(n, 1024))
-    n_pad = _pad_to(n, chunk)
+    chunk = 128              # _seg_sort segments = columns of (rows, 128)
+    n_pad = _pad_to(n, 1024)
 
     def prep(a, fill):
         return jnp.pad(a, (0, n_pad - n), constant_values=fill)
@@ -314,7 +373,8 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     dx, dy, dz = (prep(c, 1.0) for c in direction)
     bound = prep(tb, 0.0)
     live = prep(act, False).astype(jnp.int32)
-    lane = jnp.arange(n_pad, dtype=jnp.int32) % chunk
+    # within-COLUMN index: the unsort key for the column-wise _seg_sort
+    lane = jnp.arange(n_pad, dtype=jnp.int32) // 128
 
     # best-so-far (follows the rays through every permutation)
     bt = jnp.full((n_pad,), -1.0)
@@ -340,12 +400,13 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         out = pl.pallas_call(
             _cull_kernel,
             grid=(grid_c,),
-            in_specs=[table_spec] + [ray_spec_c] * 10,
+            in_specs=[table_spec, table_spec] + [ray_spec_c] * 10,
             out_specs=[ray_spec_c] * 2,
             out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32),
                        jax.ShapeDtypeStruct((rows, 128), jnp.float32)],
             interpret=interpret,
-        )(scene.treelet_f, r2(ox), r2(oy), r2(oz), r2(dx), r2(dy), r2(dz),
+        )(scene.treelet_f, scene.treelet_super,
+          r2(ox), r2(oy), r2(oz), r2(dx), r2(dy), r2(dz),
           r2(bound), r2(pt0), r2(pid), r2(live))
         return out[0].reshape(-1), out[1].reshape(-1)
 
@@ -364,10 +425,11 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         return tuple(a.reshape(-1) for a in out)
 
     # initial bin: cluster candidates so the first cull skips dead blocks
-    (_, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
-     bt, bnx, bny, bnz, bmat) = _seg_sort(
-        chunk, 1 - live, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live,
-        lane, bt, bnx, bny, bnz, bmat)
+    if CAND_SORT:
+        (_, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+         bt, bnx, bny, bnz, bmat) = _seg_sort(
+            chunk, 1 - live, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live,
+            lane, bt, bnx, bny, bnz, bmat)
 
     state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
              bt, bnx, bny, bnz, bmat)
@@ -403,18 +465,20 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     # sort, so small blocks stay coherent and dead blocks exit at the root.
     (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
      bt, bnx, bny, bnz, bmat) = state
-    live = jnp.logical_and(live > 0, pid < TREELET_NONE).astype(jnp.int32)
-    tid_f, _ = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
-    remaining = jnp.logical_and(live > 0, tid_f < TREELET_NONE)
-    t, nrm, mat = _packet_fallback(scene, mesh_roots,
-                                   Vec3(ox, oy, oz), Vec3(dx, dy, dz),
-                                   remaining, bound, interpret)
-    hit = t > 0.0
-    bt = jnp.where(hit, t, bt)
-    bnx = jnp.where(hit, nrm.x, bnx)
-    bny = jnp.where(hit, nrm.y, bny)
-    bnz = jnp.where(hit, nrm.z, bnz)
-    bmat = jnp.where(hit, mat, bmat)
+    if FALLBACK:
+        live = jnp.logical_and(live > 0,
+                               pid < TREELET_NONE).astype(jnp.int32)
+        tid_f, _ = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
+        remaining = jnp.logical_and(live > 0, tid_f < TREELET_NONE)
+        t, nrm, mat = _packet_fallback(scene, mesh_roots,
+                                       Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                                       remaining, bound, interpret)
+        hit = t > 0.0
+        bt = jnp.where(hit, t, bt)
+        bnx = jnp.where(hit, nrm.x, bnx)
+        bny = jnp.where(hit, nrm.y, bny)
+        bnz = jnp.where(hit, nrm.z, bnz)
+        bmat = jnp.where(hit, mat, bmat)
 
     # restore original order
     lane, bt, bnx, bny, bnz, bmat = _seg_sort(
@@ -439,7 +503,7 @@ def _packet_fallback(scene, mesh_roots, origin, direction, active, bound,
         t, nrm, mat = mesh_intersect_packet(
             scene, root, origin, direction, active=active,
             t_bound=jnp.minimum(bound, t_best), interpret=interpret,
-            block_rows=8)
+            block_rows=FB_ROWS)
         upd = jnp.logical_and(t > 0.0, t < t_best)
         t_best = jnp.where(upd, t, t_best)
         n_best = Vec3.where(upd, nrm, n_best)

@@ -246,6 +246,10 @@ def load_scene(path: str, orbit: bool = True,
         # tile-major lane order only pays for mesh traversal coherence; the
         # index math costs ~0.3 ms/frame on meshless scenes
         tile=pick_tile(width, height) if node_count else None,
+        # mesh scenes default to the binned-treelet intersector — the
+        # engine-measured fastest (teapot d4: binned 104 / sorted 189 /
+        # packet 358 ms; alien d4: 497 / 735 / 1212 ms)
+        bvh_impl="binned" if node_count else "pallas",
         any_glossy=any(m["has_reflective"] != 0.0 and m["has_refractive"] == 0.0
                        for m in materials),
         any_refractive=any(m["has_refractive"] != 0.0 for m in materials),

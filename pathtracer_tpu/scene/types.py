@@ -129,7 +129,20 @@ def pack_treelet_tables(nodes: dict):
     i[:T, 0] = first // TRIS_PER_ROW
     i[:T, 1] = -(-count // TRIS_PER_ROW)
     packed_i = i.reshape(-1, 128)
-    return jnp.asarray(packed_f), jnp.asarray(packed_i)
+
+    # SUPER table: one super per treelet_f ROW (16 consecutive DFS treelets
+    # = one subtree-ish spatial group); one 128-lane row per super with the
+    # union bounds at lanes 0..5 (static extracts, no rolls). The cull
+    # kernel slab-tests the super first and skips the row's 16 treelets
+    # when no lane in the block wants it.
+    n_rows_f = packed_f.shape[0]
+    grp = f.reshape(n_rows_f, TREELETS_PER_FROW, 8)
+    sup = np.zeros((n_rows_f, 128), np.float32)
+    sup[:, 0:3] = grp[:, :, 0:3].min(axis=1)
+    sup[:, 3:6] = grp[:, :, 3:6].max(axis=1)
+    return jnp.asarray(packed_f), jnp.asarray(packed_i), jnp.asarray(sup)
+
+
 MXU_TRI_TILE = 512    # triangles per MXU brute-force tile
 MXU_NFEAT = 16        # per-ray feature vector [d, o, o x d, 1] padded 10->16
 
@@ -317,6 +330,7 @@ class SceneArrays(NamedTuple):
     # Treelet (fat-leaf) tables for the binned intersector (ops/binned.py).
     treelet_f: jnp.ndarray     # [ceil(T/16), 128] f32 bounds
     treelet_i: jnp.ndarray     # [ceil(T/32), 128] i32 row ranges
+    treelet_super: jnp.ndarray  # [ceil(T/16), 128] f32 per-row union bounds
     # MXU brute-force tables (pack_tris_mxu; incoherent-bounce fast path)
     tris_mxu_c: jnp.ndarray    # [Tt*4*512, 16] f32
     tris_mxu_n: jnp.ndarray    # [Tt*512, 16] f32
@@ -461,6 +475,10 @@ def make_scene_arrays(
         inf_box[..., 3:6] = -np.inf
         treelet_f = jnp.asarray(inf_box.reshape(1, 128))
         treelet_i = jnp.zeros((1, 128), I32)
+        sup = np.zeros((1, 128), np.float32)
+        sup[:, 0:3] = np.inf
+        sup[:, 3:6] = -np.inf
+        treelet_super = jnp.asarray(sup)
         # zero-row placeholder: distinguishable from real tables, so the
         # brute intersector can REJECT scenes loaded without brute_tables
         # instead of silently intersecting degenerate all-zero triangles
@@ -484,7 +502,7 @@ def make_scene_arrays(
         tri_dict["material_id"] = np.asarray(bvh_tris["material_id"],
                                              dtype=np.int32)
         packed_f, packed_i, packed_t = pack_bvh_tables(bvh_nodes, tri_dict)
-        treelet_f, treelet_i = pack_treelet_tables(bvh_nodes)
+        treelet_f, treelet_i, treelet_super = pack_treelet_tables(bvh_nodes)
         if brute_tables:
             mxu_c, mxu_n = pack_tris_mxu(tri_dict)
         else:
@@ -512,4 +530,5 @@ def make_scene_arrays(
                        bvh_packed_f=packed_f, bvh_packed_i=packed_i,
                        tris_packed=packed_t,
                        treelet_f=treelet_f, treelet_i=treelet_i,
+                       treelet_super=treelet_super,
                        tris_mxu_c=mxu_c, tris_mxu_n=mxu_n)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pathtracer_tpu.engine.wavefront import (render, render_chunk,
                                              render_iteration, zero_accum)
@@ -19,6 +20,7 @@ def test_scan_and_while_agree(cornell_small):
                                np.asarray(a2.to_array()), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_accumulation_is_additive(cornell_small):
     """2 iterations chunked == 2 iterations run separately (running sum)."""
     scene, settings = cornell_small
@@ -33,6 +35,7 @@ def test_accumulation_is_additive(cornell_small):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_iterations_decorrelated(cornell_small):
     """Different iterations draw different randoms (progressive refinement)."""
     scene, settings = cornell_small
@@ -86,6 +89,7 @@ def _mode_settings(settings, **kw):
     return dataclasses.replace(settings, **kw)
 
 
+@pytest.mark.slow
 def test_tiled_mode_matches_masked_statistically(cornell_small):
     """Tile-skip compaction (STREAM_COMPACT equivalent) draws a different RNG
     stream per tile, so images agree in DISTRIBUTION: the averaged images must
@@ -105,6 +109,7 @@ def test_tiled_mode_matches_masked_statistically(cornell_small):
     assert np.abs(bm - bt).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_sorted_mode_matches_masked_statistically(cornell_small):
     """COALESCED material sort permutes lanes (pixel ride-along + scatter-add
     gather); must converge to the same image as masked mode."""
@@ -184,6 +189,7 @@ def test_persistent_resume_matches_oneshot(cornell_small):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_threefry_rng_mode(cornell_small):
     """The jax.random (threefry) stream path must render end to end and
     converge to the same image as the fast hash path."""
@@ -195,6 +201,7 @@ def test_threefry_rng_mode(cornell_small):
     assert abs(img_t.mean() - img_f.mean()) < 0.03
 
 
+@pytest.mark.slow
 def test_checkified_iteration_no_nans(cornell_small):
     """ERRORCHECK equivalent: one full iteration checkified for NaN/Inf in
     every intermediate (utils/debug.py)."""
@@ -204,6 +211,7 @@ def test_checkified_iteration_no_nans(cornell_small):
     validate_iteration(scene, settings)  # raises on any non-finite value
 
 
+@pytest.mark.slow
 def test_russian_roulette_unbiased(cornell_small):
     """RR termination (north-star requirement; the reference lists it as
     future work) must be UNBIASED: the RR render converges to the same image,
@@ -221,6 +229,7 @@ def test_russian_roulette_unbiased(cornell_small):
     assert np.abs(brr - bno).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_persistent_rr_bitexact_vs_masked(cornell_small):
     """Russian roulette decisions are pixel-keyed (uniforms[:,4]), so the
     persistent engine with RR must still match the masked engine exactly."""

@@ -201,6 +201,7 @@ def test_ior_gradient_matches_finite_difference_expectation():
     assert g == pytest.approx(fd, rel=0.05), f"AD {g} vs FD {fd}"
 
 
+@pytest.mark.slow
 def test_ior_gradient_finite_and_nonzero():
     """IOR gradients through the renderer: the pure pathwise estimator sees
     zero (eta only moves discrete events), so scatter_ray fuses the surrogate

@@ -339,6 +339,7 @@ def test_intersect_scene_picks_closest(cornell_small):
     assert int(mat[1]) == 1  # diffuse_white
 
 
+@pytest.mark.slow
 def test_brute_matches_packet():
     """MXU brute-force intersector vs the packet walk: identical hits,
     distances, materials, normals (both true-closest-hit)."""
@@ -359,6 +360,7 @@ def test_brute_matches_packet():
                                   np.asarray(m_b)[both])
 
 
+@pytest.mark.slow
 def test_intersect_scene_brute_impl():
     """bvh_impl='brute' (the reference's no-BVH ablation) through the scene
     dispatch: matches the packet path."""

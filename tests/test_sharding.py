@@ -19,6 +19,7 @@ def mesh():
     return make_ray_mesh()
 
 
+@pytest.mark.slow
 def test_sharded_render_statistically_matches(cornell_small, mesh):
     """The sharded render uses different RNG streams but must agree in
     expectation with the single-device render."""
@@ -51,6 +52,7 @@ def test_sharded_shapes_and_placement(cornell_small, mesh):
     assert len(out.x.sharding.device_set) == mesh.size
 
 
+@pytest.mark.slow
 def test_albedo_fit_step_runs_and_descends(cornell_small, mesh):
     """One sharded differentiable step must produce a finite loss and a
     gradient that changes the albedo toward the target."""
@@ -92,6 +94,7 @@ def test_persistent_sharded_bitexact_vs_single(cornell_small, mesh):
     np.testing.assert_allclose(img_s, img_1, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scaling_harness_runs(cornell_small, mesh):
     from pathtracer_tpu.parallel.sharding import scaling_efficiency
 
@@ -102,6 +105,7 @@ def test_scaling_harness_runs(cornell_small, mesh):
     assert 0 < r[2]["efficiency"]  # CPU virtual devices: no perf claim
 
 
+@pytest.mark.slow
 def test_albedo_fit_converges(cornell_small, mesh):
     """North star: 'differentiable albedo recovery converging' — a multi-step
     SGD fit must substantially reduce both the loss and the albedo error."""

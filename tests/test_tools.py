@@ -1,10 +1,12 @@
 """Smoke tests for the tools (perfstats timing harness)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pathtracer_tpu.utils.profiling import measure_stages, ray_survival_report
 
 
+@pytest.mark.slow
 def test_perfstats_smoke(cornell_small):
     scene, settings = cornell_small
     report = ray_survival_report(scene, settings, iteration=2)

@@ -94,12 +94,14 @@ def main():
             settings = dataclasses.replace(settings, **kw)
         ms = fn(scene, settings, chunk=chunk)
         base = BASELINES_MS.get(name)
+        mrays = settings.pixel_count / ms / 1e3   # primary Mrays/s
         rows.append({"config": name, "ms_per_frame": round(ms, 3),
+                     "primary_mrays_per_s": round(mrays, 1),
                      "reference_ms": base,
                      "speedup_vs_reference":
                          round(base / ms, 2) if base else None})
-        print(f"{name}: {ms:.3f} ms" + (f"  ({base / ms:.2f}x ref)" if base
-                                        else ""))
+        print(f"{name}: {ms:.3f} ms  {mrays:.1f} Mrays/s"
+              + (f"  ({base / ms:.2f}x ref)" if base else ""))
 
     cornell = scene_path("cornell")
     open_sc = scene_path("open_test_scene")
@@ -127,14 +129,15 @@ def main():
         f.write("Reference baselines: RTX 3060 Laptop (BASELINE.md). "
                 "ms/frame = one full progressive iteration at the scene's "
                 "configured resolution and depth.\n\n")
-        f.write("| Config | ms/frame | reference ms | speedup |\n")
-        f.write("|---|---|---|---|\n")
+        f.write("| Config | ms/frame | primary Mrays/s | reference ms "
+                "| speedup |\n")
+        f.write("|---|---|---|---|---|\n")
         for r in rows:
             ref = r["reference_ms"] or "—"
             spd = f"{r['speedup_vs_reference']}x" if r[
                 "speedup_vs_reference"] else "—"
-            f.write(f"| {r['config']} | {r['ms_per_frame']} | {ref} | "
-                    f"{spd} |\n")
+            f.write(f"| {r['config']} | {r['ms_per_frame']} | "
+                    f"{r['primary_mrays_per_s']} | {ref} | {spd} |\n")
     print(f"wrote {args.out} and {args.out.replace('.md', '.json')}")
 
 

@@ -86,19 +86,27 @@ def pipeline(scene, mesh_roots, origin, direction, active, t_bound,
           r2(dx), r2(dy), r2(dz), r2(bound), r2(tid))
         return tuple(a.reshape(-1) for a in out)
 
+    def force(*arrays):
+        # scalar sums of EVERY live array: without this XLA dead-code
+        # eliminates unused sort operands/kernel outputs and the prefix
+        # cut measures nothing (observed: every stage "0.1 ms")
+        return [jnp.sum(a.astype(jnp.float32)) for a in arrays]
+
     (_, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
      bt, bnx, bny, bnz, bmat) = B._seg_sort(
         chunk, 1 - live, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live,
         lane, bt, bnx, bny, bnz, bmat)
     if stop == 0:
-        return bt
+        return force(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+                     bt, bnx, bny, bnz, bmat)
 
     for p in range(passes):
         live = jnp.logical_and(live > 0, pid < B.TREELET_NONE
                                ).astype(jnp.int32)
         tid, tt0 = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
         if stop == p + 1000:     # after cull p only
-            return tid
+            return force(tid, tt0, ox, oy, oz, dx, dy, dz, bound, live,
+                         lane, bt, bnx, bny, bnz, bmat)
         (tid, ox, oy, oz, dx, dy, dz, bound, tt0, live, lane,
          bt, bnx, bny, bnz, bmat) = B._seg_sort(
             chunk, tid, ox, oy, oz, dx, dy, dz, bound, tt0, live, lane,
@@ -112,23 +120,30 @@ def pipeline(scene, mesh_roots, origin, direction, active, t_bound,
         bound = jnp.where(hit, t, bound)
         pt0, pid = tt0, tid
         if stop == p + 1:
-            return bt
+            return force(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live,
+                         lane, bt, bnx, bny, bnz, bmat)
 
     live = jnp.logical_and(live > 0, pid < B.TREELET_NONE).astype(jnp.int32)
     tid_f, _ = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
     remaining = jnp.logical_and(live > 0, tid_f < B.TREELET_NONE)
     if stop == 100:
-        return remaining.astype(jnp.int32).sum()
+        return force(remaining, ox, oy, oz, dx, dy, dz, bound, lane,
+                     bt, bnx, bny, bnz, bmat)
     t, nrm, mat = B._packet_fallback(scene, mesh_roots,
                                      Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                      remaining, bound, False)
     hit = t > 0.0
     bt = jnp.where(hit, t, bt)
     if stop == 200:
-        return bt
-    lane2, bt, bnx, bny, bnz, bmat = B._seg_sort(
-        chunk, lane, bt, bnx, bny, bnz, bmat)
-    return bt[:n]
+        return force(bt, nrm.x, nrm.y, nrm.z, mat, lane, bnx, bny, bnz,
+                     bmat)
+    bt2 = jnp.where(hit, t, bt)
+    bnx = jnp.where(hit, nrm.x, bnx); bny = jnp.where(hit, nrm.y, bny)
+    bnz = jnp.where(hit, nrm.z, bnz)
+    bmat = jnp.where(hit, mat, bmat)
+    lane2, bt2, bnx, bny, bnz, bmat = B._seg_sort(
+        chunk, lane, bt2, bnx, bny, bnz, bmat)
+    return force(lane2, bt2, bnx, bny, bnz, bmat)
 
 
 def main():
@@ -146,21 +161,23 @@ def main():
     roots = tuple(scene.geoms.root_node[i]
                   for i, g in enumerate(settings.geom_types) if g == 2)
 
-    def timeit(f, reps=4):
+    def timeit(f, m=8):
+        # chained timing: see tools/sweep_mesh.time_fn for why anything
+        # weaker lies on the remote transport
         from pathtracer_tpu.utils.vec import Vec3 as V
 
-        def call(k):
-            return f(scene, roots, V(o.x + np.float32(k) * 1e-6, o.y, o.z),
-                     d, hit, tb)
-        out = call(0)
+        def call(k, dep):
+            ox = o.x + (dep + np.float32(k)) * 1e-6
+            return f(scene, roots, V(ox, o.y, o.z), d, hit, tb)
+        out = call(0, jnp.float32(0))
         jax.block_until_ready(out)
-        best = 1e18
-        for k in range(1, reps + 1):
-            t0 = time.perf_counter()
-            out = call(k)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3
+        dep = out[0] * 0.0
+        t0 = time.perf_counter()
+        for k in range(m):
+            out = call(k, dep)
+            dep = out[0] * 0.0
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / m * 1e3
 
     cuts = [0, 1000, 1] + ([1001, 2] if passes >= 2 else []) + [100, 200, 300]
     names = {0: "cand+sort0", 1000: "  +cull1", 1: "  +bin1+stream1",
@@ -171,7 +188,7 @@ def main():
             sc, rts, oo, dd, hh, bb, passes, c))
         print(f"{names[c]:20s}: {timeit(f):8.1f} ms", flush=True)
     f100 = jax.jit(lambda sc, rts, oo, dd, hh, bb: pipeline(
-        sc, rts, oo, dd, hh, bb, passes, 100))
+        sc, rts, oo, dd, hh, bb, passes, 100)[0])
     print("remaining lanes at fallback:",
           int(f100(scene, roots, o, d, hit, tb)), flush=True)
 

@@ -62,26 +62,30 @@ def analytic_bound(scene, settings, o, d):
     return tb
 
 
-def time_fn(f, o, *args, reps=3):
-    """f(o, *args) best-of-reps ms. The first arg (a Vec3) is perturbed per
-    rep: the remote-TPU transport result-caches identical dispatches (see
-    utils/profiling._time), which silently fakes timings."""
+def time_fn(f, o, *args, m=8):
+    """Average ms over m calls CHAINED by a data dependency (each call's
+    input is perturbed by a scalar read from the previous call's output).
+
+    Two remote-transport traps make anything weaker lie (measured):
+    identical-input dispatches are result-cached, and block_until_ready on a
+    remote result does NOT wait for compute — unchained "timed" calls
+    measured 0.2 ms for work whose HBM traffic alone needs ~0.5 ms. The
+    dependency chain forces real sequential execution; bench.py is naturally
+    chained through its accumulator and was never affected."""
     import numpy as np
 
     from pathtracer_tpu.utils.vec import Vec3
 
-    def call(k):
-        return f(Vec3(o.x + np.float32(k) * 1e-6, o.y, o.z), *args)
-
-    out = call(0)
+    out = f(o, *args)
     jax.block_until_ready(out)
-    best = float("inf")
-    for k in range(1, reps + 1):
-        t0 = time.perf_counter()
-        out = call(k)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+    dep = jnp.max(out[0]) * 0.0
+    t0 = time.perf_counter()
+    for k in range(m):
+        ox = o.x + (dep + np.float32(k)) * 1e-6
+        out = f(Vec3(ox, o.y, o.z), *args)
+        dep = jnp.max(out[0]) * 0.0
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / m * 1e3
 
 
 def main():
