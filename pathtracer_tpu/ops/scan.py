@@ -127,14 +127,15 @@ def _scatter_perm(dst: jnp.ndarray, n: int) -> jnp.ndarray:
 def partition_multisort(tree, mask: jnp.ndarray):
     """Fast stable liveness partition via XLA's multi-operand sort.
 
-    Measured on TPU v5 class hardware: one 13-operand lax.sort of a 640k pool
-    is ~5.3 ms, versus ~183 ms for sort_key_val + per-leaf random gathers —
-    payload must ride INSIDE the sort network; random gathers of [640k] are
-    ~16 ms each. Even so, ~5 ms/bounce is far too slow for the hot loop (the
-    whole Cornell frame is ~9 ms), which is why the engine's default
-    compaction is tile-granular skipping with NO data movement
-    (engine/wavefront.py); this full partition backs the COALESCED-style
-    material sort and open-scene pool shrinking where it pays off.
+    Measured on TPU v5e (tools/bench_sorts.py, in-graph chained timing): a
+    13-operand lax.sort of a 640k pool runs at ~0.07 ms — the HBM floor for
+    its traffic — versus ~183 ms for sort_key_val + per-leaf random gathers:
+    payload must ride INSIDE the sort network. (An earlier ~5.3 ms figure
+    came from an unchained harness; see ops/binned.py on why those lie.)
+    The engine's default compaction remains masked lanes + early exit —
+    even a free sort moves 16 arrays of state for a benefit warp retirement
+    already gave us via masking — but sorts are cheap enough that the
+    binned-treelet mesh intersector (ops/binned.py) is built out of them.
 
     Returns (packed_tree, live_count): live lanes first, stable; dead lanes
     preserved at the back, stable.
@@ -207,9 +208,21 @@ def sort_by_key(keys: jnp.ndarray, tree, n_bits: int = 6,
     """Stable LSD radix sort of a pytree by non-negative integer keys.
 
     One bit per pass (RadixSort::sort, radix_sort.cu:97-165): partition by
-    the bit via two exclusive scans, ones offset by totalZeros, permutation
-    applied by gather. `n_bits` covers the key range (material ids are tiny;
-    the reference burns 32 passes, radix_sort.cu:104).
+    the bit via two exclusive scans (the Pallas carry-scan kernel), ones
+    offset by totalZeros, permutation applied by gather. `n_bits` covers the
+    key range (material ids are tiny; the reference burns 32 passes,
+    radix_sort.cu:104).
+
+    MEASURED VERDICT (tools/bench_sorts.py, TPU v5e, in-graph scan-chained
+    timing — anything weaker is faked by the remote transport's result cache
+    / async handles): on 640k keys with the 13-operand COALESCED payload,
+    this radix (3 bits) runs at 0.12 ms/sort and `sort_by_key_multisort`
+    (XLA variadic sort) at 0.07 ms/sort — BOTH at the HBM-bandwidth floor
+    for their traffic (the radix moves the payload once per pass). The
+    north-star "radix sort as a kernel" endpoint on TPU is therefore the
+    Pallas SCAN + this partition structure, with the one-shot multisort as
+    the production path; a hand-written in-kernel scatter cannot beat memory
+    bound and would re-serialize per-lane writes.
 
     Returns (sorted_keys, sorted_tree).
     """
