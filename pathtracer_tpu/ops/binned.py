@@ -34,8 +34,10 @@ order. Results are bit-exact equal to mesh_intersect_packet on active lanes
 (tests/test_binned.py), and full engine renders are bit-identical.
 
 Engine-measured (TPU v5e, ms/frame at the scenes' checked-in 800x800 d4):
-  teapot  packet 358 | sorted-packet 189 | binned 104
-  alien   packet 1213 | sorted-packet 735 | binned <see BENCH.md>
+  teapot  packet 358 | sorted-packet 189 | binned 103
+  alien   packet 1213 | sorted-packet 735 | binned 378
+Remaining-cost breakdown and the optimization fronts for the next round are
+at the bottom of this docstring.
 (The only trustworthy timing is engine-level frame time: the remote-TPU
 transport result-caches identical dispatches AND resolves block_until_ready
 before compute finishes, so single-call microbenchmarks lie in both
@@ -46,6 +48,26 @@ walk (reference src/intersections.cu:167-213) as the production mesh
 intersector; the reference's per-thread MIMD walk has no union waste to
 avoid, ours buys the same property with sorts the GPU would spend on
 COALESCED material sorting (pathtrace.cu:825-841).
+
+OPEN FRONTS (alien d4 = 378 ms vs the reference's 22; diagnostic ablation
+split per 2-pass bounce, no fallback: sorts ~2.5 ms, cull ~6 ms, STREAM
+~24 ms; the exact fallback adds ~59 ms/bounce):
+  1. Stream visits: column-rank binning puts ~19 distinct ids in an (8,128)
+     block on alien (vs ~4 if runs were contiguous); contiguous-chunk bins
+     were measured SLOWER overall (relayout of 16 operands per sort), so
+     the win needs tighter rank alignment without relayout — e.g. a second
+     column sort keyed by (id, rank-noise-free quantile) or smaller-T
+     treelet re-grouping.
+  2. Fallback absorption: ~19% of alien's pool still has a want after 2
+     passes (wants|candidate = 4.6). A cull that captures K nearest wants
+     per pass (K id slots riding the bin sort, stream iterating the slot
+     union) would cover most rays in 2 passes and shrink the fallback to
+     the true tail.
+  3. An 8-wide BVH with per-packet SMEM stacks (128-ray packets, children
+     on sublanes via (8,1)x(1,128) broadcasts, tri groups roll-extracted
+     16-lane records) is designed but unbuilt — it replaces union waste
+     with per-packet MIMD-ish traversal and is the likely endgame if
+     binning plateaus.
 """
 from __future__ import annotations
 
@@ -56,8 +78,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.types import (TREELET_NONE, TREELETS_PER_FROW, TREELETS_PER_IROW,
-                           TRI_STRIDE, TRIS_PER_ROW)
+from ..scene.types import (MAX_TRE_ROWS, TREELET_NONE, TREELETS_PER_FROW,
+                           TREELETS_PER_IROW, TRI_STRIDE, TRIS_PER_ROW)
 from ..utils.vec import Vec3
 
 FLT_MAX = 3.402823466e38
@@ -70,6 +92,8 @@ PASSES = 2          # cull->bin->stream rounds before the packet fallback
 #                     p3=135.3, p1=143.1, p0=186.1 ms/frame)
 FALLBACK = True     # diagnostic ablation flags (trace-time)
 CAND_SORT = True
+STREAM_OFF = False  # diagnostic: skip the stream kernel (WRONG results)
+CULL_CHEAP = False  # diagnostic: cull returns constant ids (WRONG results)
 FB_ROWS = 32        # packet-fallback block rows (teapot d4: 8->121.9, 32->104.3 ms)
 
 
@@ -269,19 +293,23 @@ def _stream_kernel(tre_i_ref, trisf_ref,
         g = carry[0]
         return g < TREELET_NONE
 
+    max_rows = MAX_TRE_ROWS
+    last_row = trisf_ref.shape[0] - 1
+
     def body(carry):
         g, cc = carry
         irow = tre_i_ref[pl.ds(g // TREELETS_PER_IROW, 1), :]
         iv = _extract(irow, g % TREELETS_PER_IROW, 4)
         row0, n_rows = iv[0, 0], iv[0, 1]
-
-        def row_body(r, c):
-            trow = trisf_ref[pl.ds(row0 + r, 1), :]
+        # STATIC row unroll (rows-per-treelet is bounded at pack time):
+        # a traced fori here cost more than the row tests it wrapped.
+        # Short treelets mask their tail rows; the clamped load keeps the
+        # index in-table (junk content is masked out by in_row).
+        for r in range(max_rows):
+            trow = trisf_ref[pl.ds(jnp.minimum(row0 + r, last_row), 1), :]
+            in_row = r < n_rows
             for j in range(TRIS_PER_ROW):
-                c = tri_test(trow, j, True, c)
-            return c
-
-        cc = jax.lax.fori_loop(0, n_rows, row_body, cc)
+                cc = tri_test(trow, j, in_row, cc)
         g_next = jnp.min(jnp.where(tid > g, tid, TREELET_NONE))
         return g_next, cc
 
@@ -301,6 +329,12 @@ def _stream_kernel(tre_i_ref, trisf_ref,
 # Host-side pipeline
 # ---------------------------------------------------------------------------
 
+BIN_CONTIGUOUS = False  # bin sorts over contiguous 65536-chunks instead of
+#                         columns: tighter id runs per block (helps scenes
+#                         with many treelets) at the price of a relayout of
+#                         every operand per sort. Trace-time; sweepable.
+
+
 def _seg_sort(chunk: int, key, *arrays):
     """Segmented multi-operand sort ALONG COLUMNS of the native (rows, 128)
     layout: segment = one of 128 columns (every-128th lane).
@@ -315,6 +349,11 @@ def _seg_sort(chunk: int, key, *arrays):
     what an (8,128) kernel block reads — hold nearly the same ids: block
     coherence survives without any contiguity.
     """
+    if BIN_CONTIGUOUS:
+        c = min(65536, key.shape[0])
+        out = jax.lax.sort([key.reshape(-1, c)]
+                           + [a.reshape(-1, c) for a in arrays], num_keys=1)
+        return tuple(a.reshape(-1) for a in out)
     out = jax.lax.sort([key.reshape(-1, 128)]
                        + [a.reshape(-1, 128) for a in arrays],
                        dimension=0, num_keys=1)
@@ -342,7 +381,7 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         passes = PASSES      # read at trace time so sweeps can retune
     n = origin.x.shape[0]
     chunk = 128              # _seg_sort segments = columns of (rows, 128)
-    n_pad = _pad_to(n, 1024)
+    n_pad = _pad_to(n, 65536 if BIN_CONTIGUOUS else 1024)
 
     def prep(a, fill):
         return jnp.pad(a, (0, n_pad - n), constant_values=fill)
@@ -373,8 +412,12 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     dx, dy, dz = (prep(c, 1.0) for c in direction)
     bound = prep(tb, 0.0)
     live = prep(act, False).astype(jnp.int32)
-    # within-COLUMN index: the unsort key for the column-wise _seg_sort
-    lane = jnp.arange(n_pad, dtype=jnp.int32) // 128
+    # unsort key = position within a _seg_sort segment (column row index,
+    # or offset within the contiguous chunk when BIN_CONTIGUOUS)
+    if BIN_CONTIGUOUS:
+        lane = jnp.arange(n_pad, dtype=jnp.int32) % min(65536, n_pad)
+    else:
+        lane = jnp.arange(n_pad, dtype=jnp.int32) // 128
 
     # best-so-far (follows the rays through every permutation)
     bt = jnp.full((n_pad,), -1.0)
@@ -439,13 +482,22 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
          bt, bnx, bny, bnz, bmat) = state
         # finished lanes (no want at the previous cull) are dead from here on
         live = jnp.logical_and(live > 0, pid < TREELET_NONE).astype(jnp.int32)
-        tid, tt0 = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
+        if CULL_CHEAP:
+            tid = jnp.where(live > 0, jnp.zeros_like(pid), TREELET_NONE)
+            tt0 = jnp.zeros_like(pt0)
+        else:
+            tid, tt0 = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
         # bin: sort by wanted id (NONE lanes cluster at segment ends)
         (tid, ox, oy, oz, dx, dy, dz, bound, tt0, live, lane,
          bt, bnx, bny, bnz, bmat) = _seg_sort(
             chunk, tid, ox, oy, oz, dx, dy, dz, bound, tt0, live, lane,
             bt, bnx, bny, bnz, bmat)
-        t, nx, ny, nz, mat = stream(ox, oy, oz, dx, dy, dz, bound, tid)
+        if STREAM_OFF:
+            t = jnp.full_like(bound, -1.0)
+            nx = ny = nz = jnp.zeros_like(bound)
+            mat = jnp.full_like(tid, -1)
+        else:
+            t, nx, ny, nz, mat = stream(ox, oy, oz, dx, dy, dz, bound, tid)
         hit = t > 0.0
         bt = jnp.where(hit, t, bt)
         bnx = jnp.where(hit, nx, bnx)

@@ -86,6 +86,7 @@ TRI_STRIDE = 20
 TREELETS_PER_FROW = 16  # 16 treelets x 8 f32 fields (bounds) = 128 lanes
 TREELETS_PER_IROW = 32  # 32 treelets x 4 i32 fields (row range) = 128 lanes
 TREELET_NONE = 0x3FFFFFF  # "no treelet" id sentinel (reduction-safe int32)
+MAX_TRE_ROWS = 16         # rows per treelet bound (static stream unroll)
 
 
 def pack_treelet_tables(nodes: dict):
@@ -128,6 +129,8 @@ def pack_treelet_tables(nodes: dict):
     i = np.zeros((ti, 4), np.int32)
     i[:T, 0] = first // TRIS_PER_ROW
     i[:T, 1] = -(-count // TRIS_PER_ROW)
+    assert int(i[:, 1].max(initial=0)) <= MAX_TRE_ROWS, (
+        "treelet exceeds MAX_TRE_ROWS — lower max_leaf or raise the bound")
     packed_i = i.reshape(-1, 128)
 
     # SUPER table: one super per treelet_f ROW (16 consecutive DFS treelets
