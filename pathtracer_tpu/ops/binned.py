@@ -59,10 +59,12 @@ split per 2-pass bounce, no fallback: sorts ~2.5 ms, cull ~6 ms, STREAM
      column sort keyed by (id, rank-noise-free quantile) or smaller-T
      treelet re-grouping.
   2. Fallback absorption: ~19% of alien's pool still has a want after 2
-     passes (wants|candidate = 4.6). A cull that captures K nearest wants
-     per pass (K id slots riding the bin sort, stream iterating the slot
-     union) would cover most rays in 2 passes and shrink the fallback to
-     the true tail.
+     passes (wants|candidate = 4.6). BUILT AND MEASURED: a 2-slot want
+     capture (two id slots riding the bin sort, stream iterating the slot
+     union) LOST — teapot 119 vs 103, alien 370-398 vs 378 ms: the slot-1
+     ids scatter across blocks (only slot 0 drives the bin sort), so stream
+     visits grow faster than the fallback shrinks. A K-slot variant would
+     need to bin on BOTH slots (duplicate lanes) to pay off.
   3. An 8-wide BVH with per-packet SMEM stacks (128-ray packets, children
      on sublanes via (8,1)x(1,128) broadcasts, tri groups roll-extracted
      16-lane records) is designed but unbuilt — it replaces union waste
