@@ -88,13 +88,14 @@ def generate_paths(scene: SceneArrays, settings: RenderSettings,
     pathtrace.cu:260-322). `n`/`pixel_offset` support sharded local blocks."""
     if n is None:
         n = settings.pixel_count
-    lanes = jnp.arange(n, dtype=jnp.int32)
-    jitter = irng.normals(-1, lanes, 2) if settings.jitter else None
-    dof_u = irng.uniforms(-2, lanes, 2) if settings.dof else None
-    pixel_ids = settings.pixel_map()(lanes + pixel_offset)
-    origin, direction = generate_camera_rays(
-        scene.camera, settings.width, settings.height, jitter, dof_u,
-        n=n, pixel_idx=pixel_ids)
+    with jax.named_scope("pt_raygen"):
+        lanes = jnp.arange(n, dtype=jnp.int32)
+        jitter = irng.normals(-1, lanes, 2) if settings.jitter else None
+        dof_u = irng.uniforms(-2, lanes, 2) if settings.dof else None
+        pixel_ids = settings.pixel_map()(lanes + pixel_offset)
+        origin, direction = generate_camera_rays(
+            scene.camera, settings.width, settings.height, jitter, dof_u,
+            n=n, pixel_idx=pixel_ids)
     one = jnp.ones((n,), dtype=jnp.float32)
     return PathState(
         origin=origin,
@@ -109,28 +110,37 @@ def bounce_step(scene: SceneArrays, settings: RenderSettings,
                 irng: rng.IterationRng, depth: jnp.ndarray,
                 state: PathState, image: Vec3) -> Tuple[PathState, Vec3]:
     """One bounce, masked mode: intersect -> shade -> gather
-    (pathtrace.cu:752-894 body). Lane == pixel; elementwise gather."""
-    n = state.origin.x.shape[0]
-    t, normal, mat_id = intersect_scene(
-        scene, settings.geom_types, state.origin, state.direction,
-        bvh_impl=settings.bvh_impl, active=state.remaining_bounces > 0)
+    (pathtrace.cu:752-894 body). Lane == pixel; elementwise gather.
 
-    u = irng.uniforms(depth, state.pixel, 5 if settings.rr_start else 4)
-    origin, direction, color, rb = shade(
-        state.origin, state.direction, state.color, state.remaining_bounces,
-        t, normal, mat_id, scene.materials, u,
-        any_glossy=settings.any_glossy,
-        any_refractive=settings.any_refractive,
-        depth_quirk=settings.depth_quirk,
-        rr_depth=depth, rr_start=settings.rr_start)
+    Stages carry jax.named_scope markers ("pt_intersect"/"pt_shade"/
+    "pt_gather"): XLA propagates them into device-op metadata so an xplane
+    profile of the FUSED frame can attribute time per stage
+    (tools/xplane_stats.py — the EVALUATION analogue measured in situ)."""
+    n = state.origin.x.shape[0]
+    with jax.named_scope("pt_intersect"):
+        t, normal, mat_id = intersect_scene(
+            scene, settings.geom_types, state.origin, state.direction,
+            bvh_impl=settings.bvh_impl, active=state.remaining_bounces > 0)
+
+    with jax.named_scope("pt_shade"):
+        u = irng.uniforms(depth, state.pixel, 5 if settings.rr_start else 4)
+        origin, direction, color, rb = shade(
+            state.origin, state.direction, state.color,
+            state.remaining_bounces,
+            t, normal, mat_id, scene.materials, u,
+            any_glossy=settings.any_glossy,
+            any_refractive=settings.any_refractive,
+            depth_quirk=settings.depth_quirk,
+            rr_depth=depth, rr_start=settings.rr_start)
 
     # gatherImage: add lanes whose remaining_bounces just reached 0, then mark
     # them gathered (-1) so they are skipped and never double-added
     # (pathtrace.cu:574-589 with the !STREAM_COMPACT marker semantics).
-    newly_done = rb == 0
-    zero = Vec3.zeros((n,))
-    image = image + Vec3.where(newly_done, color, zero)
-    rb = jnp.where(newly_done, -1, rb)
+    with jax.named_scope("pt_gather"):
+        newly_done = rb == 0
+        zero = Vec3.zeros((n,))
+        image = image + Vec3.where(newly_done, color, zero)
+        rb = jnp.where(newly_done, -1, rb)
 
     return PathState(origin, direction, color, rb, state.pixel), image
 
@@ -143,9 +153,14 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
 
     Stages over the full pool: intersect -> set keys -> stable sort by key
     (state AND intersection ride the sort network together, like
-    kernGatherArrays' double-buffer gather) -> shade -> scatter-add gather.
+    kernGatherArrays' double-buffer gather) -> shade. Lanes STAY permuted
+    across bounces — pixel ids ride the sorts, and the gather happens ONCE
+    after the bounce loop (render_iteration): terminated lanes' colors are
+    frozen (shade passes rb <= 0 lanes through unchanged), so deferring the
+    image add to a single end-of-iteration unsort is exact and halves the
+    sort traffic vs the round-2 per-bounce unsort (engine-measured: 72.0 ->
+    see BENCH.md "+ material sort").
     """
-    n = state.origin.x.shape[0]
     t, normal, mat_id = intersect_scene(
         scene, settings.geom_types, state.origin, state.direction,
         bvh_impl=settings.bvh_impl)
@@ -165,19 +180,10 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
         depth_quirk=settings.depth_quirk,
         rr_depth=depth, rr_start=settings.rr_start)
 
-    # UNSORT by pixel id instead of scatter-adding into the image: XLA's TPU
-    # scatter lowers element-serial (the old .at[pixel].add path was the bulk
-    # of the 179.6 ms/frame sorted mode), while riding back through one more
-    # multi-operand sort costs ~0.2 ms and restores lane == pixel so
-    # accumulation stays elementwise.
-    _, (origin, direction, color, rb) = sort_by_key_multisort(
-        state.pixel, (origin, direction, color, rb))
-
-    newly_done = rb == 0
-    image = image + Vec3.where(newly_done, color, Vec3.zeros((n,)))
-    rb = jnp.where(newly_done, -1, rb)
-    return PathState(origin, direction, color, rb,
-                     jnp.arange(n, dtype=jnp.int32)), image
+    # mark newly-terminated lanes gathered; their colors are now frozen and
+    # collected by the deferred end-of-iteration gather (render_iteration)
+    rb = jnp.where(rb == 0, -1, rb)
+    return PathState(origin, direction, color, rb, state.pixel), image
 
 
 def bounce_step_tiled(scene: SceneArrays, settings: RenderSettings,
@@ -295,8 +301,15 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
                                             state, image, early_exit=True)
             return depth + 1, state, image
 
-        _, _, accum = jax.lax.while_loop(
+        _, state, accum = jax.lax.while_loop(
             cond, body, (jnp.int32(0), state, accum))
+        if settings.sort_materials:
+            # deferred COALESCED gather: one unsort restores lane == pixel,
+            # then terminated (gathered-marked) lanes add elementwise
+            _, (color, rb) = sort_by_key_multisort(
+                state.pixel, (state.color, state.remaining_bounces))
+            accum = accum + Vec3.where(rb == -1, color,
+                                       Vec3.zeros((n,)))
         return accum
 
     def scan_body(carry, depth):

@@ -38,8 +38,6 @@ def save_hdr(img, path: str, mirror_x: bool = True) -> str:
     h, w, _ = arr.shape
     maxc = arr.max(axis=-1)
     valid = maxc >= 1e-32
-    exp = np.zeros_like(maxc, dtype=np.int32)
-    mant = np.zeros_like(maxc)
     m, e = np.frexp(np.where(valid, maxc, 1.0))
     scale = np.where(valid, m * 256.0 / np.where(valid, maxc, 1.0), 0.0)
     rgbe = np.zeros((h, w, 4), dtype=np.uint8)

@@ -343,9 +343,11 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
 
     `geom_types` is the static per-geom type tuple (from RenderSettings), so
     the geom loop unrolls at trace time. `bvh_impl` picks the mesh traversal:
-    "pallas" = packet kernel (ops/bvh_pallas.py), "sorted" = packet kernel
-    over coherence-sorted blocks (the mesh fast path), "jnp" = per-ray
-    stackless walk (reference-semantics testing), "brute" = MXU brute force.
+    "wide" = 8-wide BVH with per-packet SMEM stacks over coherence-sorted
+    128-ray packets (ops/wide.py), "binned" = treelet binning
+    (ops/binned.py), "pallas" = packet kernel (ops/bvh_pallas.py), "sorted"
+    = packet kernel over coherence-sorted blocks, "jnp" = per-ray stackless
+    walk (reference-semantics testing), "brute" = MXU brute force.
 
     ANALYTIC GEOMS RUN FIRST, meshes last: the closest analytic hit per lane
     is handed to the mesh traversal as a pruning bound (t_bound), so rays
@@ -379,15 +381,22 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
                     origin, direction)
         merge(t, nrm, jnp.broadcast_to(scene.geoms.material_id[i], (n,)))
 
-    if bvh_impl == "binned" and MESH in geom_types:
-        # one binned pass covers all meshes (ops/binned.py)
-        from .binned import mesh_intersect_binned
+    if bvh_impl in ("binned", "wide") and MESH in geom_types:
+        # one pass covers all meshes (ops/binned.py / ops/wide.py)
         mesh_roots = tuple(scene.geoms.root_node[i]
                            for i, gt in enumerate(geom_types) if gt == MESH)
-        t, nrm, mat = mesh_intersect_binned(
-            scene, mesh_roots, origin, direction,
-            active=active, t_bound=t_best,
-            interpret=jax.default_backend() != "tpu")
+        if bvh_impl == "wide":
+            from .wide import mesh_intersect_wide_sorted
+            t, nrm, mat = mesh_intersect_wide_sorted(
+                scene, mesh_roots, origin, direction,
+                active=active, t_bound=t_best,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            from .binned import mesh_intersect_binned
+            t, nrm, mat = mesh_intersect_binned(
+                scene, mesh_roots, origin, direction,
+                active=active, t_bound=t_best,
+                interpret=jax.default_backend() != "tpu")
         merge(t, nrm, mat)
         t_out = jnp.where(any_hit, t_best, -1.0)
         return t_out, n_best, m_best

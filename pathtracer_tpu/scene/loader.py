@@ -28,6 +28,7 @@ import numpy as np
 from ..utils.math import PI, build_transformation_matrix, inverse_transpose, normalize
 from . import obj as obj_loader
 from .bvh import align_leaves, build_bvh
+from .bvh8 import build_wide_bvh, concat_wide
 from .types import CUBE, MESH, SPHERE, RenderSettings, SceneArrays, make_scene_arrays
 
 
@@ -157,6 +158,7 @@ def load_scene(path: str, orbit: bool = True,
     node_count = 0
     tri_count = 0
     mesh_id = 0
+    wide_meshes = []   # per-mesh (wide_nodes, tris8) for the 8-wide kernel
 
     for p in data["Objects"]:
         t = p["TYPE"]
@@ -183,6 +185,9 @@ def load_scene(path: str, orbit: bool = True,
                                        materials)
             nodes, reordered = build_bvh(tris, max_leaf=max_leaf)
             nodes, reordered = align_leaves(nodes, reordered)
+            # independent small-leaf 8-wide tree for ops/wide.py (its own
+            # triangle reorder; group indices offset at concat time)
+            wide_meshes.append(build_wide_bvh(tris))
             # Global offset fix-up (scene.cpp:178-189)
             n_new = nodes["tri_first"].shape[0]
             is_leaf = nodes["tri_count"] > 0
@@ -247,8 +252,8 @@ def load_scene(path: str, orbit: bool = True,
         # index math costs ~0.3 ms/frame on meshless scenes
         tile=pick_tile(width, height) if node_count else None,
         # mesh scenes default to the binned-treelet intersector — the
-        # engine-measured fastest (teapot d4: binned 104 / sorted 189 /
-        # packet 358 ms; alien d4: 497 / 735 / 1212 ms)
+        # engine-measured fastest (teapot d4: binned 103-110 / sorted 189 /
+        # packet 358 ms; alien d4: 378-392 / 735 / 1213 ms; BENCH.md)
         bvh_impl="binned" if node_count else "pallas",
         any_glossy=any(m["has_reflective"] != 0.0 and m["has_refractive"] == 0.0
                        for m in materials),
@@ -267,6 +272,7 @@ def load_scene(path: str, orbit: bool = True,
     else:
         bvh_nodes, bvh_tris = None, None
 
+    wide_data = concat_wide(wide_meshes) if wide_meshes else None
     arrays = make_scene_arrays(geoms, materials, bvh_nodes, bvh_tris, cam,
-                               brute_tables=brute_tables)
+                               brute_tables=brute_tables, wide_data=wide_data)
     return arrays, settings

@@ -146,6 +146,72 @@ def pack_treelet_tables(nodes: dict):
     return jnp.asarray(packed_f), jnp.asarray(packed_i), jnp.asarray(sup)
 
 
+WIDE_NODES_PER_BLOCK = 16  # wide nodes per (8,128) table block: node j's
+#                            field f at lane j*8+f, child c at sublane c
+WIDE_GROUPS_PER_BLOCK = 6  # 8-tri groups per (8,128) tris8 block: group g
+#                            at lanes (g%6)*20..+19, triangle t at sublane t
+
+
+def pack_wide_tables(wide_nodes, tris8: dict):
+    """Tables for the 8-wide BVH packet kernel (ops/wide.py).
+
+    The kernel's unit of work is one (8, 128) VPU tile, so both tables put
+    the 8-way parallel record dimension on SUBLANES:
+
+      nodes8_f [ceil(W/16)*8, 128] f32 — wide node j of block g lives at
+          rows g*8..g*8+7 (sublane = child slot 0..7), lanes j*8+f with
+          f = (min_x, min_y, min_z, max_x, max_y, max_z, pad, pad).
+          Empty child slots hold NaN boxes (every slab comparison is then
+          False) and are additionally masked by kind == 0.
+      nodes8_i same geometry, i32, f = (kind, a, b, axis):
+          kind 0 empty / 1 internal (a = wide node idx) / 2 leaf
+          (a = first 8-tri group, b = group count); axis = the node's
+          child-sort axis, replicated into every slot so the kernel can
+          read it from sublane 0.
+      tris8 [ceil(G/6)*8, 128] f32 — 8-triangle group g lives at rows
+          (g//6)*8.., sublane = triangle, lanes (g%6)*20 + f with the same
+          20 fields as pack_bvh_tables rows (v0, e1, e2, n0, n1, n2, mat,
+          pad). Table-tail padding triangles are all-zero => Möller-
+          Trumbore determinant 0 => never valid.
+    """
+    w = len(wide_nodes)
+    blocks = -(-w // WIDE_NODES_PER_BLOCK)
+    nf = np.full((blocks * 8, 128), np.nan, np.float32)
+    ni = np.zeros((blocks * 8, 128), np.int32)
+    for j, nd in enumerate(wide_nodes):
+        g, k = divmod(j, WIDE_NODES_PER_BLOCK)
+        base = k * 8
+        for c, ((kind, a, b), (mn, mx)) in enumerate(
+                zip(nd["children"], nd["boxes"])):
+            nf[g * 8 + c, base:base + 3] = mn
+            nf[g * 8 + c, base + 3:base + 6] = mx
+            ni[g * 8 + c, base:base + 4] = (kind, a, b, nd["axis"])
+        for c in range(len(nd["children"]), 8):
+            ni[g * 8 + c, base + 3] = nd["axis"]
+
+    nt = tris8["v0"].shape[0]
+    assert nt % 8 == 0, "tris8 must be 8-aligned (scene/bvh8.py)"
+    ngroups = nt // 8
+    tblocks = -(-ngroups // WIDE_GROUPS_PER_BLOCK)
+    t = np.zeros((nt, TRI_STRIDE), np.float32)
+    t[:, 0:3] = tris8["v0"]
+    t[:, 3:6] = tris8["v1"] - tris8["v0"]
+    t[:, 6:9] = tris8["v2"] - tris8["v0"]
+    t[:, 9:12] = tris8["n0"]
+    t[:, 12:15] = tris8["n1"]
+    t[:, 15:18] = tris8["n2"]
+    t[:, 18] = tris8["material_id"].astype(np.float32)
+    packed = np.zeros((tblocks * 8, 128), np.float32)
+    g4 = np.zeros((tblocks * WIDE_GROUPS_PER_BLOCK, 8, TRI_STRIDE),
+                  np.float32)
+    g4[:ngroups] = t.reshape(ngroups, 8, TRI_STRIDE)
+    g4 = g4.reshape(tblocks, WIDE_GROUPS_PER_BLOCK, 8, TRI_STRIDE)
+    for gg in range(WIDE_GROUPS_PER_BLOCK):
+        packed[:, gg * TRI_STRIDE:(gg + 1) * TRI_STRIDE] = (
+            g4[:, gg].reshape(tblocks * 8, TRI_STRIDE))
+    return (jnp.asarray(nf), jnp.asarray(ni), jnp.asarray(packed))
+
+
 MXU_TRI_TILE = 512    # triangles per MXU brute-force tile
 MXU_NFEAT = 16        # per-ray feature vector [d, o, o x d, 1] padded 10->16
 
@@ -337,6 +403,12 @@ class SceneArrays(NamedTuple):
     # MXU brute-force tables (pack_tris_mxu; incoherent-bounce fast path)
     tris_mxu_c: jnp.ndarray    # [Tt*4*512, 16] f32
     tris_mxu_n: jnp.ndarray    # [Tt*512, 16] f32
+    # 8-wide BVH tables for the per-packet-stack kernel (pack_wide_tables,
+    # ops/wide.py); one forest covers every mesh, rooted at wide_root[0].
+    nodes8_f: jnp.ndarray      # [Wb*8, 128] f32 child boxes
+    nodes8_i: jnp.ndarray      # [Wb*8, 128] i32 child meta
+    tris8: jnp.ndarray         # [Gb*8, 128] f32 8-tri groups
+    wide_root: jnp.ndarray     # [1] i32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -373,12 +445,12 @@ class RenderSettings:
     # Russian-roulette throughput termination from this bounce depth on
     # (0 = off, the reference's behavior; its README lists RR as future work).
     rr_start: int = 0
-    # mesh intersector: "binned" treelet binning (ops/binned.py, the mesh
-    # fast path), "sorted" packet walk over coherence-sorted blocks,
-    # "pallas" unsorted packet walk, "jnp" per-ray stackless walk
-    # (reference-semantics testing), "brute" MXU brute force over all
-    # triangles (the reference's no-BVH ablation; needs
-    # load_scene(brute_tables=True))
+    # mesh intersector: "wide" 8-wide BVH with per-packet SMEM stacks
+    # (ops/wide.py), "binned" treelet binning (ops/binned.py), "sorted"
+    # packet walk over coherence-sorted blocks, "pallas" unsorted packet
+    # walk, "jnp" per-ray stackless walk (reference-semantics testing),
+    # "brute" MXU brute force over all triangles (the reference's no-BVH
+    # ablation; needs load_scene(brute_tables=True))
     bvh_impl: str = "pallas"
     look_at: tuple = (0.0, 0.0, 0.0)  # for orbit-camera controls (viewer)
     fovy_deg: float = 45.0
@@ -408,12 +480,15 @@ def _pad4(m: np.ndarray) -> np.ndarray:
 
 def make_scene_arrays(
     geom_list, material_list, bvh_nodes, bvh_tris, camera,
-    brute_tables: bool = False
+    brute_tables: bool = False, wide_data=None
 ) -> SceneArrays:
     """Build device SceneArrays from host-side Python lists/dicts (see loader).
 
     brute_tables: also pack the MXU brute-force intersector tables (~14 MB of
     HBM for the alien mesh) — only needed when mesh_intersect_brute is used.
+    wide_data: optional (wide_nodes, tris8_dict, root) from scene/bvh8.py
+    concat_wide for the 8-wide packet kernel; a degenerate empty forest is
+    packed when absent (the wide kernel then reports all-miss).
     """
     g = len(geom_list)
     geoms = GeomArrays(
@@ -519,6 +594,17 @@ def make_scene_arrays(
         tris = TriangleArrays(
             *comps, material_id=jnp.asarray(bvh_tris["material_id"], dtype=I32))
 
+    if wide_data is not None:
+        wide_nodes, tris8_dict, wide_root_idx = wide_data
+        nodes8_f, nodes8_i, tris8 = pack_wide_tables(wide_nodes, tris8_dict)
+        wide_root = jnp.asarray([wide_root_idx], I32)
+    else:
+        # degenerate forest: one node, all children kind=0 => instant miss
+        nodes8_f = jnp.full((8, 128), jnp.nan, F32)
+        nodes8_i = jnp.zeros((8, 128), I32)
+        tris8 = jnp.zeros((8, 128), F32)
+        wide_root = jnp.zeros((1,), I32)
+
     cam = CameraArrays(
         position=jnp.asarray(camera["position"], dtype=F32),
         view=jnp.asarray(camera["view"], dtype=F32),
@@ -534,4 +620,6 @@ def make_scene_arrays(
                        tris_packed=packed_t,
                        treelet_f=treelet_f, treelet_i=treelet_i,
                        treelet_super=treelet_super,
-                       tris_mxu_c=mxu_c, tris_mxu_n=mxu_n)
+                       tris_mxu_c=mxu_c, tris_mxu_n=mxu_n,
+                       nodes8_f=nodes8_f, nodes8_i=nodes8_i, tris8=tris8,
+                       wide_root=wide_root)

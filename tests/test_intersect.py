@@ -139,7 +139,8 @@ def test_aabb_basic():
     bmax = Vec3(jnp.float32(1), jnp.float32(1), jnp.float32(1))
     o = as_vec3(np.array([[0, 0, 5], [0, 0, 5], [0, 0, 0]], dtype=np.float32))
     d = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], dtype=np.float32)
-    inv_d = as_vec3(1.0 / d)
+    with np.errstate(divide="ignore"):   # inf inv on parallel axes is the
+        inv_d = as_vec3(1.0 / d)         # slab test's intended input
     t = np.asarray(aabb_intersect(bmin, bmax, o, inv_d))
     assert abs(t[0] - 4.0) < 1e-5   # enters at z=1
     assert t[1] == -1.0              # parallel miss

@@ -1,0 +1,120 @@
+"""8-wide per-packet-stack intersector (ops/wide.py): exactness vs packet.
+
+The wide kernel traverses its OWN tree (scene/bvh8.py small-leaf rebuild,
+greedy 8-wide collapse) with per-packet SMEM stacks, front-to-back child
+order and pop-time culling — all of which may only change speed, never a
+lane's closest hit. Hit selection (which triangle, material, normal) must
+match mesh_intersect_packet exactly; the reported t may differ by ~1 ulp
+because the wide kernel evaluates Möller-Trumbore as (8,1)x(1,128)
+broadcasts while the packet kernel uses scalar-triangle x vector-ray, and
+XLA contracts FMAs differently for the two shapes. Full engine renders are
+compared bit-exactly (test below): identical hits + identical shading.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu import load_scene, render
+from pathtracer_tpu.ops.intersect import intersect_scene
+from pathtracer_tpu.scene.fixtures import scene_path
+from pathtracer_tpu.utils.vec import Vec3
+
+
+@pytest.fixture(scope="module")
+def teapot():
+    return load_scene(scene_path("teapot"))
+
+
+def _random_rays(n, seed):
+    rng = np.random.default_rng(seed)
+    o = Vec3(*(jnp.asarray(rng.uniform(-5, 5, n), jnp.float32)
+               for _ in range(3)))
+    d = Vec3(*(jnp.asarray(rng.normal(size=n), jnp.float32)
+               for _ in range(3)))
+    act = jnp.asarray(rng.uniform(size=n) < 0.6)
+    return o, d, act
+
+
+def test_wide_matches_packet_active_lanes(teapot):
+    scene, settings = teapot
+    o, d, act = _random_rays(2048, 0)
+    r_p = intersect_scene(scene, settings.geom_types, o, d,
+                          bvh_impl="pallas", active=act)
+    r_w = intersect_scene(scene, settings.geom_types, o, d,
+                          bvh_impl="wide", active=act)
+    a = np.asarray(act)
+    # same hit set and same winning triangle (material + normal identical);
+    # t within 1-ulp FMA-contraction noise (module docstring)
+    np.testing.assert_allclose(np.asarray(r_p[0])[a], np.asarray(r_w[0])[a],
+                               rtol=1e-6, atol=0.0)
+    np.testing.assert_array_equal(np.asarray(r_p[2])[a],
+                                  np.asarray(r_w[2])[a])
+    for c_p, c_w in zip(r_p[1], r_w[1]):
+        np.testing.assert_allclose(np.asarray(c_p)[a], np.asarray(c_w)[a],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_wide_respects_t_bound(teapot):
+    """Hits at or beyond the per-lane bound must be reported as misses, and
+    bounded results must agree with unbounded ones where those hit closer."""
+    from pathtracer_tpu.ops.wide import mesh_intersect_wide
+
+    scene, settings = teapot
+    o, d, act = _random_rays(1024, 3)
+    t_free, _, m_free = mesh_intersect_wide(scene, o, d, active=act,
+                                            interpret=True)
+    bound = jnp.full((1024,), 1.5, jnp.float32)
+    t_b, _, m_b = mesh_intersect_wide(scene, o, d, active=act,
+                                      t_bound=bound, interpret=True)
+    a = np.asarray(act)
+    tf, tb_ = np.asarray(t_free)[a], np.asarray(t_b)[a]
+    mf, mb = np.asarray(m_free)[a], np.asarray(m_b)[a]
+    close = (tf > 0) & (tf < 1.5)
+    np.testing.assert_array_equal(tb_[close], tf[close])
+    np.testing.assert_array_equal(mb[close], mf[close])
+    far = ~close
+    assert (tb_[far] == -1.0).all()
+    assert (mb[far] == -1).all()
+
+
+def test_wide_tree_covers_all_triangles(teapot):
+    """Every triangle of the source mesh appears in exactly one wide-leaf
+    group range (padding duplicates aside): firing a ray at each source
+    triangle's centroid from just off its normal must hit at the centroid."""
+    scene, settings = teapot
+    tr = scene.triangles
+    n = tr.v0x.shape[0]
+    cx = (tr.v0x + tr.v1x + tr.v2x) / 3.0
+    cy = (tr.v0y + tr.v1y + tr.v2y) / 3.0
+    cz = (tr.v0z + tr.v1z + tr.v2z) / 3.0
+    # offset along -z then fire +z... instead use per-tri geometric normal
+    e1 = Vec3(tr.v1x - tr.v0x, tr.v1y - tr.v0y, tr.v1z - tr.v0z)
+    e2 = Vec3(tr.v2x - tr.v0x, tr.v2y - tr.v0y, tr.v2z - tr.v0z)
+    gn = e1.cross(e2).normalize()
+    o = Vec3(cx, cy, cz) + gn * 0.01
+    d = gn * -1.0
+    from pathtracer_tpu.ops.wide import mesh_intersect_wide
+    t, _, mat = mesh_intersect_wide(scene, o, d, interpret=True)
+    t = np.asarray(t)
+    # the ray may legitimately hit a DIFFERENT, closer triangle, but it must
+    # hit SOMETHING at distance <= ~0.01 + eps
+    hit = t > 0
+    assert hit.mean() > 0.99, f"only {hit.mean():.3f} centroid rays hit"
+    assert (t[hit] <= 0.011).all()
+
+
+@pytest.mark.slow
+def test_wide_engine_render_bitexact_vs_packet():
+    """Full progressive renders are bit-identical between intersectors:
+    1-ulp t noise never changes the winning hit or any shading bit in
+    practice on these meshes (if this ever flakes, compare with tolerance
+    and investigate the tie)."""
+    scene, settings = load_scene(scene_path("animal"), overrides={
+        "RES": [48, 48], "DEPTH": 4, "ITERATIONS": 4})
+    img_w = render(scene, dataclasses.replace(settings, bvh_impl="wide"),
+                   chunk=4)
+    img_p = render(scene, dataclasses.replace(settings, bvh_impl="pallas"),
+                   chunk=4)
+    np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_p))

@@ -131,9 +131,23 @@ def main():
         return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
                        o, d, hit, tb)
 
-    for p in (2, 3, 4):
+    def run_wide(sort):
+        from pathtracer_tpu.ops.wide import (mesh_intersect_wide,
+                                             mesh_intersect_wide_sorted)
+        if sort:
+            f = jax.jit(lambda sc, rts, o, d, a, tb:
+                        mesh_intersect_wide_sorted(
+                            sc, rts, o, d, active=a, t_bound=tb))
+            return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
+                           o, d, hit, tb)
+        f = jax.jit(lambda sc, o, d, a, tb: mesh_intersect_wide(
+            sc, o, d, active=a, t_bound=tb))
+        return time_fn(lambda o, *a: f(scene, o, *a), o, d, hit, tb)
+
+    print(f"wide sorted:            {run_wide(True):8.1f} ms", flush=True)
+    print(f"wide unsorted:          {run_wide(False):8.1f} ms", flush=True)
+    for p in (2,):
         print(f"binned passes={p}:      {run_binned(p):8.1f} ms", flush=True)
-    print(f"plain  br= 32:          {run_plain(32):8.1f} ms", flush=True)
     print(f"sorted br= 32 ch=65536: {run_sorted(32, 65536):8.1f} ms",
           flush=True)
 
