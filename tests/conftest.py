@@ -11,7 +11,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# PT_TPU_TESTS=1 keeps the real backend so the TPU-gated tests
+# (tests/test_parity_full.py) can run on hardware:
+#   PT_TPU_TESTS=1 python -m pytest tests/test_parity_full.py -m ""
+if not os.environ.get("PT_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -25,6 +25,49 @@ def block_reduce(img, b):
                       .reshape(h // b, b, w // b, b, c).mean((1, 3)))
 
 
+def compute_parity(spp: int, chunk: int = 100,
+                   png_path: str | None = None) -> dict:
+    """Render Cornell at full scale and compare against the committed
+    reference render. Returns the metric dict (also used by the TPU-gated
+    regression test tests/test_parity_full.py, so the committed PARITY.md
+    envelope can't silently rot)."""
+    import numpy as np
+
+    from pathtracer_tpu import load_scene, render
+    from pathtracer_tpu.io.image import load_png, save_png, to_uint8
+    from pathtracer_tpu.scene.fixtures import golden_path, scene_path
+
+    scene, settings = load_scene(scene_path("cornell"))
+    t0 = time.perf_counter()
+    img = render(scene, settings, iterations=spp, chunk=chunk)
+    dt = time.perf_counter() - t0
+    img = np.clip(np.asarray(img), 0.0, 1.0)
+
+    golden = load_png(golden_path())  # [H,W,3] float in [0,1], x-mirrored
+    if png_path:
+        save_png(img, png_path)
+        # round-trip through the PNG so the comparison covers the artifact
+        ours = load_png(png_path)
+    else:
+        # same quantization as save_png (mirror + uint8), no file
+        ours = to_uint8(img)[:, ::-1, :].astype(np.float64) / 255.0
+
+    diff = np.abs(ours - golden)
+    b8 = np.abs(block_reduce(ours, 8) - block_reduce(golden, 8))
+    b16 = np.abs(block_reduce(ours, 16) - block_reduce(golden, 16))
+    means_ours = ours.mean((0, 1))
+    means_gold = golden.mean((0, 1))
+    return {
+        "spp": spp, "seconds": dt,
+        "mad": float(diff.mean()),
+        "b8_mean": float(b8.mean()), "b8_max": float(b8.max()),
+        "b16_mean": float(b16.mean()), "b16_max": float(b16.max()),
+        "corr": float(np.corrcoef(ours.ravel(), golden.ravel())[0, 1]),
+        "means_ours": means_ours, "means_gold": means_gold,
+        "mean_delta": np.abs(means_ours - means_gold),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=2000)
@@ -35,29 +78,24 @@ def main():
 
     import numpy as np
 
-    from pathtracer_tpu import load_scene, render
-    from pathtracer_tpu.io.image import load_png, save_png
-    from pathtracer_tpu.scene.fixtures import golden_path, scene_path
+    m = compute_parity(args.spp, args.chunk, png_path=args.png)
+    dt = m["seconds"]
+    mad = m["mad"]
+    corr = m["corr"]
+    means_ours, means_gold = m["means_ours"], m["means_gold"]
 
-    scene, settings = load_scene(scene_path("cornell"))
-    t0 = time.perf_counter()
-    img = render(scene, settings, iterations=args.spp, chunk=args.chunk)
-    dt = time.perf_counter() - t0
-    img = np.clip(np.asarray(img), 0.0, 1.0)
+    class _B:     # keep the report formatting below unchanged
+        def __init__(self, mean, mx):
+            self._m, self._x = mean, mx
 
-    save_png(img, args.png)
-    golden = load_png(golden_path())  # [H,W,3] float in [0,1], x-mirrored
-    # our render() output is in the same orientation as the reference's
-    # saved PNGs (save_png applies the x-mirror) — load both back identically
-    ours = load_png(args.png)
+        def mean(self):
+            return self._m
 
-    diff = np.abs(ours - golden)
-    mad = float(diff.mean())
-    b8 = np.abs(block_reduce(ours, 8) - block_reduce(golden, 8))
-    b16 = np.abs(block_reduce(ours, 16) - block_reduce(golden, 16))
-    corr = float(np.corrcoef(ours.ravel(), golden.ravel())[0, 1])
-    means_ours = ours.mean((0, 1))
-    means_gold = golden.mean((0, 1))
+        def max(self):
+            return self._x
+
+    b8 = _B(m["b8_mean"], m["b8_max"])
+    b16 = _B(m["b16_mean"], m["b16_max"])
 
     lines = [
         "# PARITY — full-scale golden-image comparison",
