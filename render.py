@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint file: resumes from it if present, and "
                          "saves to it after rendering")
+    ap.add_argument("--bvh", choices=("binned", "wide", "pallas", "sorted",
+                                      "jnp", "brute"), default=None,
+                    help="mesh intersector override (default: the loader's "
+                         "production pick — see scene/loader.py)")
     ap.add_argument("--engine", choices=("wavefront", "persistent"),
                     default="wavefront",
                     help="wavefront: masked fixed-pool bounce loop (fastest "
@@ -57,6 +61,8 @@ def main():
     if args.no_jitter or args.no_dof:
         settings = dataclasses.replace(
             settings, jitter=not args.no_jitter, dof=not args.no_dof)
+    if args.bvh:
+        settings = dataclasses.replace(settings, bvh_impl=args.bvh)
 
     print(f"scene: {args.scene}  {settings.width}x{settings.height} "
           f"depth={settings.trace_depth} spp={settings.iterations} "

@@ -33,10 +33,18 @@ STAGES = ("pt_raygen", "pt_intersect", "pt_shade", "pt_gather")
 
 
 def _load_xplane(pb_path: str):
-    try:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-    except ImportError:                      # tensorflow fallback schema
-        from tensorflow.core.profiler.protobuf import xplane_pb2
+    xplane_pb2 = None
+    for mod in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                "xprof.protobuf.xplane_pb2",
+                "tensorboard_plugin_profile.protobuf.xplane_pb2"):
+        try:
+            import importlib
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        raise ImportError("no xplane protobuf schema available")
     xspace = xplane_pb2.XSpace()
     with open(pb_path, "rb") as f:
         xspace.ParseFromString(f.read())
@@ -144,6 +152,14 @@ def main():
     per, other, total, n_events = stage_attribution(_load_xplane(pbs[-1]))
     if args.keep:
         print(f"trace dir: {ctx_dir}")
+    if n_events == 0:
+        # CPU/host traces expose HLO names without scope metadata — no
+        # device plane to attribute (verified: /host:CPU tf_XLAEigen lines
+        # carry hlo_op only). Honest fallback, same as a missing trace.
+        print("no attributable device ops in the trace (CPU/host backend?) "
+              "— isolated-jit table follows.")
+        print(measure_stages(scene, settings).table())
+        return
 
     print(f"\n=== In-situ stage attribution (fused frame x{args.frames}, "
           f"{n_events} device ops) ===")
