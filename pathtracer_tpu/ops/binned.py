@@ -93,6 +93,19 @@ PASSES = 2          # cull->bin->stream rounds before the packet fallback
 #                     (engine-measured optimum on teapot d4: p2=134.9,
 #                     p3=135.3, p1=143.1, p0=186.1 ms/frame)
 FALLBACK = True     # diagnostic ablation flags (trace-time)
+FALLBACK_IMPL = "packet"  # "wide" = 8-wide per-packet-stack kernel
+#                         (ops/wide.py) — the residual lanes are already
+#                         CLUSTERED by the last bin sort, which is exactly
+#                         the coherence per-packet stacks exploit, and its
+#                         128-ray packets avoid the 4096-ray block unions
+#                         that made the packet walk cost ~59 ms/bounce on
+#                         alien. Trade-off: the wide kernel's broadcast-MT
+#                         t differs by ~1 ulp from the packet walk's, so
+#                         "wide" gives up bit-exactness vs bvh_impl="pallas"
+#                         on fallback lanes (still the true closest hit —
+#                         tests/test_binned.py covers both contracts).
+#                         "packet" = the bit-exact round-2 packet-walk
+#                         finish. Default pending the TPU bench verdict.
 CAND_SORT = True
 STREAM_OFF = False  # diagnostic: skip the stream kernel (WRONG results)
 CULL_CHEAP = False  # diagnostic: cull returns constant ids (WRONG results)
@@ -366,10 +379,12 @@ def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "passes"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "passes", "fallback_impl"))
 def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
                           active=None, t_bound=None,
-                          interpret: bool = False, passes: int | None = None):
+                          interpret: bool = False, passes: int | None = None,
+                          fallback_impl: str | None = None):
     """Binned-treelet mesh intersection over the whole ray pool.
 
     Covers ALL meshes in one pass (treelets span every mesh's leaves);
@@ -381,6 +396,8 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     """
     if passes is None:
         passes = PASSES      # read at trace time so sweeps can retune
+    if fallback_impl is None:
+        fallback_impl = FALLBACK_IMPL
     n = origin.x.shape[0]
     chunk = 128              # _seg_sort segments = columns of (rows, 128)
     n_pad = _pad_to(n, 65536 if BIN_CONTIGUOUS else 1024)
@@ -526,7 +543,8 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         remaining = jnp.logical_and(live > 0, tid_f < TREELET_NONE)
         t, nrm, mat = _packet_fallback(scene, mesh_roots,
                                        Vec3(ox, oy, oz), Vec3(dx, dy, dz),
-                                       remaining, bound, interpret)
+                                       remaining, bound, interpret,
+                                       fallback_impl)
         hit = t > 0.0
         bt = jnp.where(hit, t, bt)
         bnx = jnp.where(hit, nrm.x, bnx)
@@ -542,10 +560,21 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
 
 
 def _packet_fallback(scene, mesh_roots, origin, direction, active, bound,
-                     interpret):
-    """Exact finish for lanes with unenumerated wants: per-mesh packet walk
-    with the tightened bound. `active` lanes are already clustered by the
-    last bin sort, so inactive blocks exit at the root instantly."""
+                     interpret, fallback_impl=None):
+    """Exact finish for lanes with unenumerated wants, with the tightened
+    bound. `active` lanes are already clustered by the last bin sort, so
+    inactive packets/blocks exit at the root instantly.
+
+    FALLBACK_IMPL="wide": one 8-wide per-packet-stack pass over all meshes
+    (ops/wide.py) — per-128-ray unions on the clustered residual are far
+    smaller than the packet walk's 4096-ray block unions.
+    """
+    if (fallback_impl or FALLBACK_IMPL) == "wide":
+        from .wide import mesh_intersect_wide
+        return mesh_intersect_wide(scene, origin, direction,
+                                   active=active, t_bound=bound,
+                                   interpret=interpret)
+
     from .bvh_pallas import mesh_intersect_packet
 
     n = origin.x.shape[0]

@@ -85,3 +85,29 @@ def test_binned_engine_render_bitexact_vs_packet():
     img_p = render(scene, dataclasses.replace(settings, bvh_impl="pallas"),
                    chunk=4)
     np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_p))
+
+
+def test_binned_wide_fallback_contract(teapot):
+    """fallback_impl="wide" (the 8-wide per-packet-stack finish) keeps the
+    true-closest-hit contract: identical hit set / material / normal vs the
+    packet-fallback pipeline; t within the wide kernel's ~1-ulp broadcast-MT
+    envelope (tests/test_wide.py module docstring) on fallback lanes."""
+    from pathtracer_tpu.ops.binned import mesh_intersect_binned
+
+    scene, settings = teapot
+    o, d, act = _random_rays(1024, 2)
+    roots = tuple(scene.geoms.root_node[i]
+                  for i, g in enumerate(settings.geom_types) if g == 2)
+    t_p, n_p, m_p = mesh_intersect_binned(
+        scene, roots, o, d, active=act, interpret=True,
+        fallback_impl="packet")
+    t_w, n_w, m_w = mesh_intersect_binned(
+        scene, roots, o, d, active=act, interpret=True,
+        fallback_impl="wide")
+    a = np.asarray(act)
+    np.testing.assert_allclose(np.asarray(t_p)[a], np.asarray(t_w)[a],
+                               rtol=1e-6, atol=0.0)
+    np.testing.assert_array_equal(np.asarray(m_p)[a], np.asarray(m_w)[a])
+    for c_p, c_w in zip(n_p, n_w):
+        np.testing.assert_allclose(np.asarray(c_p)[a], np.asarray(c_w)[a],
+                                   rtol=1e-5, atol=1e-6)
