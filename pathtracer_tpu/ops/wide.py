@@ -76,6 +76,7 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
                  t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
                  stack_n, stack_t):
     last_tri_row = trisf_ref.shape[0] - 8
+    packet_rows = ox_ref.shape[0]
     root = root_ref[0, 0]
 
     def packet_body(p, _):
@@ -255,21 +256,24 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
         mat_ref[pl.ds(p, 1), :] = mat
         return 0
 
-    jax.lax.fori_loop(0, PACKET_ROWS, packet_body, 0)
+    jax.lax.fori_loop(0, packet_rows, packet_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "packet_rows"))
 def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
-                        active=None, t_bound=None, interpret: bool = False):
+                        active=None, t_bound=None, interpret: bool = False,
+                        packet_rows: int = PACKET_ROWS):
     """8-wide per-packet-stack mesh intersection over the whole ray pool.
 
     One call covers every mesh (the wide forest concatenates them under a
     super-root, scene/bvh8.py concat_wide). Same contract as
     mesh_intersect_packet: (t [N], normal Vec3, mat [N]), t = -1 where no
     hit strictly closer than `t_bound`; true closest hit on active lanes.
+    `packet_rows` = packets (grid-block rows) per kernel invocation — a
+    pipelining knob only, results are identical.
     """
     n = origin.x.shape[0]
-    block = PACKET_ROWS * 128
+    block = packet_rows * 128
     n_pad = ((n + block - 1) // block) * block
 
     def prep(a, fill):
@@ -289,8 +293,8 @@ def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
     root = scene.wide_root.reshape(1, 1)
 
     rows = n_pad // 128
-    grid = rows // PACKET_ROWS
-    ray_spec = pl.BlockSpec((PACKET_ROWS, 128), lambda i: (i, 0),
+    grid = rows // packet_rows
+    ray_spec = pl.BlockSpec((packet_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
