@@ -131,7 +131,7 @@ def main():
         return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
                        o, d, hit, tb)
 
-    def run_wide(sort):
+    def run_wide(sort, packet_rows=8):
         from pathtracer_tpu.ops.wide import (mesh_intersect_wide,
                                              mesh_intersect_wide_sorted)
         if sort:
@@ -141,13 +141,23 @@ def main():
             return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
                            o, d, hit, tb)
         f = jax.jit(lambda sc, o, d, a, tb: mesh_intersect_wide(
-            sc, o, d, active=a, t_bound=tb))
+            sc, o, d, active=a, t_bound=tb, packet_rows=packet_rows))
         return time_fn(lambda o, *a: f(scene, o, *a), o, d, hit, tb)
 
+    def run_binned_fb(fb):
+        from pathtracer_tpu.ops.binned import mesh_intersect_binned
+        f = jax.jit(lambda sc, rts, o, d, a, tb: mesh_intersect_binned(
+            sc, rts, o, d, active=a, t_bound=tb, fallback_impl=fb))
+        return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
+                       o, d, hit, tb)
+
     print(f"wide sorted:            {run_wide(True):8.1f} ms", flush=True)
-    print(f"wide unsorted:          {run_wide(False):8.1f} ms", flush=True)
-    for p in (2,):
-        print(f"binned passes={p}:      {run_binned(p):8.1f} ms", flush=True)
+    for pr in (8, 16, 32):
+        print(f"wide unsorted pr={pr:3d}:   {run_wide(False, pr):8.1f} ms",
+              flush=True)
+    for fb in ("packet", "wide"):
+        print(f"binned fb={fb:7s}:     {run_binned_fb(fb):8.1f} ms",
+              flush=True)
     print(f"sorted br= 32 ch=65536: {run_sorted(32, 65536):8.1f} ms",
           flush=True)
 
