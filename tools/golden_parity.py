@@ -1,12 +1,20 @@
 #!/usr/bin/env python
-"""Full-scale golden parity: render Cornell 800x800 at high spp on TPU and
-compare quantitatively against the reference's committed 5000-spp render
-(scenes/golden/REFERENCE_cornell.5000samp.png, from the reference repo's
-img/reference/). Writes PARITY.md + the render PNG so the parity claim is a
+"""Full-scale golden parity: render a scene at high spp on TPU and compare
+quantitatively against the reference tracer's committed render of the SAME
+scene. Writes PARITY.md + the render PNG so the parity claim is a
 checked-in, reproducible artifact (north-star config: image allclose at
 5000 spp tolerance).
 
+Comparisons available (reference repo img/ renders, both 5000 spp):
+  cornell (default): scenes/golden/REFERENCE_cornell.5000samp.png, 800x800
+  animal (hero):     the reference's alien.2026-02-10*.5000samp.png at
+                     1200x1200 depth 12 — pass --scene animal --ref <png>
+                     --res 1200 --depth 12
+
 Usage: python tools/golden_parity.py [--spp 2000] [--out PARITY.md]
+       python tools/golden_parity.py --scene animal --res 1200 --depth 12 \
+           --ref scenes/golden/REFERENCE_alien.5000samp.png --spp 1000 \
+           --out PARITY_alien.md --png renders/alien_parity.png
 """
 from __future__ import annotations
 
@@ -26,24 +34,29 @@ def block_reduce(img, b):
 
 
 def compute_parity(spp: int, chunk: int = 100,
-                   png_path: str | None = None) -> dict:
-    """Render Cornell at full scale and compare against the committed
-    reference render. Returns the metric dict (also used by the TPU-gated
-    regression test tests/test_parity_full.py, so the committed PARITY.md
-    envelope can't silently rot)."""
+                   png_path: str | None = None,
+                   scene_name: str = "cornell",
+                   ref_png: str | None = None,
+                   overrides: dict | None = None) -> dict:
+    """Render `scene_name` at full scale and compare against the committed
+    reference render (`ref_png`, default the Cornell golden). Returns the
+    metric dict (also used by the TPU-gated regression test
+    tests/test_parity_full.py, so the committed PARITY.md envelope can't
+    silently rot)."""
     import numpy as np
 
     from pathtracer_tpu import load_scene, render
     from pathtracer_tpu.io.image import load_png, save_png, to_uint8
     from pathtracer_tpu.scene.fixtures import golden_path, scene_path
 
-    scene, settings = load_scene(scene_path("cornell"))
+    scene, settings = load_scene(scene_path(scene_name),
+                                 overrides=overrides or None)
     t0 = time.perf_counter()
     img = render(scene, settings, iterations=spp, chunk=chunk)
     dt = time.perf_counter() - t0
     img = np.clip(np.asarray(img), 0.0, 1.0)
 
-    golden = load_png(golden_path())  # [H,W,3] float in [0,1], x-mirrored
+    golden = load_png(ref_png or golden_path())  # [H,W,3] float, x-mirrored
     if png_path:
         save_png(img, png_path)
         # round-trip through the PNG so the comparison covers the artifact
@@ -51,6 +64,7 @@ def compute_parity(spp: int, chunk: int = 100,
     else:
         # same quantization as save_png (mirror + uint8), no file
         ours = to_uint8(img)[:, ::-1, :].astype(np.float64) / 255.0
+    assert ours.shape == golden.shape, (ours.shape, golden.shape)
 
     diff = np.abs(ours - golden)
     b8 = np.abs(block_reduce(ours, 8) - block_reduce(golden, 8))
@@ -72,50 +86,49 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=2000)
     ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--ref", default=None,
+                    help="reference PNG (default: the Cornell golden)")
+    ap.add_argument("--res", type=int, default=None)
+    ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--out", default="PARITY.md")
     ap.add_argument("--png", default="renders/cornell_parity.png")
     args = ap.parse_args()
 
     import numpy as np
 
-    m = compute_parity(args.spp, args.chunk, png_path=args.png)
+    overrides = {}
+    if args.res:
+        overrides["RES"] = [args.res, args.res]
+    if args.depth:
+        overrides["DEPTH"] = args.depth
+    m = compute_parity(args.spp, args.chunk, png_path=args.png,
+                       scene_name=args.scene, ref_png=args.ref,
+                       overrides=overrides)
     dt = m["seconds"]
-    mad = m["mad"]
-    corr = m["corr"]
     means_ours, means_gold = m["means_ours"], m["means_gold"]
-
-    class _B:     # keep the report formatting below unchanged
-        def __init__(self, mean, mx):
-            self._m, self._x = mean, mx
-
-        def mean(self):
-            return self._m
-
-        def max(self):
-            return self._x
-
-    b8 = _B(m["b8_mean"], m["b8_max"])
-    b16 = _B(m["b16_mean"], m["b16_max"])
+    cfg = f"{args.scene}" + (f" {args.res}x{args.res}" if args.res else
+                             " 800x800") + \
+          (f" depth {args.depth}" if args.depth else "")
 
     lines = [
         "# PARITY — full-scale golden-image comparison",
         "",
-        f"Our render: Cornell 800x800, depth 8, **{args.spp} spp** on one "
-        f"TPU chip ({dt:.1f}s wall including one-time compilation; "
-        f"steady-state is ~4.7 ms/iter — see BENCH.md), "
+        f"Our render: {cfg}, **{args.spp} spp** on one "
+        f"TPU chip ({dt:.1f}s wall including one-time compilation), "
         f"committed as `{args.png}`.",
-        "Reference: the CUDA tracer's committed 5000-spp render "
-        "(`scenes/golden/REFERENCE_cornell.5000samp.png`, from "
-        "img/reference/ of the reference repo).",
+        f"Reference: the CUDA tracer's committed 5000-spp render "
+        f"(`{args.ref or 'scenes/golden/REFERENCE_cornell.5000samp.png'}`, "
+        "from the reference repo's img/).",
         "",
         "| Metric | Value |",
         "|---|---|",
-        f"| per-pixel MAD | {mad:.4f} |",
-        f"| 8x8-block MAD (mean) | {float(b8.mean()):.4f} |",
-        f"| 8x8-block MAD (max) | {float(b8.max()):.4f} |",
-        f"| 16x16-block MAD (mean) | {float(b16.mean()):.4f} |",
-        f"| 16x16-block MAD (max) | {float(b16.max()):.4f} |",
-        f"| pixel correlation | {corr:.5f} |",
+        f"| per-pixel MAD | {m['mad']:.4f} |",
+        f"| 8x8-block MAD (mean) | {m['b8_mean']:.4f} |",
+        f"| 8x8-block MAD (max) | {m['b8_max']:.4f} |",
+        f"| 16x16-block MAD (mean) | {m['b16_mean']:.4f} |",
+        f"| 16x16-block MAD (max) | {m['b16_max']:.4f} |",
+        f"| pixel correlation | {m['corr']:.5f} |",
         f"| channel means (ours) | {means_ours.round(4).tolist()} |",
         f"| channel means (golden) | {means_gold.round(4).tolist()} |",
         f"| channel mean abs delta | "
@@ -127,7 +140,8 @@ def main():
         "block means converge to the underlying image. The residual "
         "per-pixel MAD is dominated by that noise floor.",
         "",
-        f"Generated by tools/golden_parity.py --spp {args.spp} on "
+        f"Generated by tools/golden_parity.py --scene {args.scene} "
+        f"--spp {args.spp} on "
         f"{time.strftime('%Y-%m-%d')} (single TPU chip).",
     ]
     with open(args.out, "w") as f:
