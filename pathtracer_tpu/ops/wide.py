@@ -74,7 +74,7 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  tb_ref, act_ref,
                  t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
-                 stack_n, stack_t):
+                 stack_n, stack_t, cull: bool = True):
     last_tri_row = trisf_ref.shape[0] - 8
     packet_rows = ox_ref.shape[0]
     root = root_ref[0, 0]
@@ -104,7 +104,8 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
         sdz = jnp.sum(dz)
 
         stack_n[0] = root
-        stack_t[0] = NEG_MAX
+        if cull:
+            stack_t[0] = NEG_MAX
 
         def node_compute(entry):
             """Slab-test entry's 8 children against the packet. Returns
@@ -130,8 +131,11 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
             want = jnp.logical_and(t0 <= t1,
                                    jnp.logical_and(t1 > 0.0, t0 < t_min))
             wcnt = jnp.sum(want.astype(jnp.int32), axis=1, keepdims=True)
-            t0c = jnp.min(jnp.where(want, t0, FLT_MAX), axis=1,
-                          keepdims=True)
+            if cull:
+                t0c = jnp.min(jnp.where(want, t0, FLT_MAX), axis=1,
+                              keepdims=True)
+            else:
+                t0c = jnp.zeros((8, 1), jnp.float32)  # unused without cull
             kind = bi[:, 0:1]
             a = bi[:, 1:2]
             b = bi[:, 2:3]
@@ -213,19 +217,40 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
             sp, t_min, nx, ny, nz, mat = c
             sp = sp - 1
             entry = stack_n[sp]
-            te = stack_t[sp]
-            max_t = jnp.max(t_min)
-            live = te < max_t           # pop-time cull against tightened t
+            if cull:
+                te = stack_t[sp]
+                max_t = jnp.max(t_min)
+                live = te < max_t       # pop-time cull against tightened t
+            else:
+                # correctness-neutral skip: the cull only discards work that
+                # cannot change any lane's closest hit, and the pop-count
+                # simulator (tools/sim_wide.py) measured ZERO culled pops on
+                # every scene's bounce-ray mix — the packet max(t_min) stays
+                # loose while any lane is far. Dropping it removes 8 t0c
+                # vector->scalar transfers + 8 SMEM writes + a compare/pop.
+                live = True
             is_node = entry < LEAF_TAG
 
             wcnt, t0c, centry, dpos = jax.lax.cond(
-                jnp.logical_and(live, is_node), node_compute, node_dead,
-                entry)
+                jnp.logical_and(live, is_node) if cull else is_node,
+                node_compute, node_dead, entry)
 
             # far-to-near pushes via computed slots; unwanted children (and
             # every child of a dead/leaf pop: wcnt all-zero) write slot
             # STACK, a dummy that sp never reaches.
-            w = [(wcnt[cix, 0] > 0).astype(jnp.int32) for cix in range(8)]
+            if cull:
+                w = [(wcnt[cix, 0] > 0).astype(jnp.int32)
+                     for cix in range(8)]
+            else:
+                # ONE vector->scalar transfer for all 8 want flags: pack
+                # them as bits of a single int (child cix -> bit cix)
+                bitsv = jnp.where(
+                    wcnt > 0,
+                    jnp.int32(1) << jax.lax.broadcasted_iota(
+                        jnp.int32, wcnt.shape, 0),
+                    0)
+                bits = jnp.sum(bitsv)
+                w = [(bits >> cix) & 1 for cix in range(8)]
             fwd = []
             total = jnp.int32(0)
             for cix in range(8):
@@ -236,11 +261,13 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
                 pos = sp + jnp.where(dpos, bwd, fwd[cix])
                 idx = jnp.where(w[cix] > 0, pos, STACK)
                 stack_n[idx] = centry[cix, 0]
-                stack_t[idx] = t0c[cix, 0]
+                if cull:
+                    stack_t[idx] = t0c[cix, 0]
             sp = sp + total
 
             t_min, nx, ny, nz, mat = jax.lax.cond(
-                jnp.logical_and(live, jnp.logical_not(is_node)),
+                jnp.logical_and(live, jnp.logical_not(is_node)) if cull
+                else jnp.logical_not(is_node),
                 lambda cc: leaf_compute(entry, cc), lambda cc: cc,
                 (t_min, nx, ny, nz, mat))
             return sp, t_min, nx, ny, nz, mat
@@ -259,18 +286,24 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
     jax.lax.fori_loop(0, packet_rows, packet_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "packet_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "packet_rows", "cull"))
 def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
                         active=None, t_bound=None, interpret: bool = False,
-                        packet_rows: int = PACKET_ROWS):
+                        packet_rows: int = PACKET_ROWS, cull: bool = False):
     """8-wide per-packet-stack mesh intersection over the whole ray pool.
 
     One call covers every mesh (the wide forest concatenates them under a
     super-root, scene/bvh8.py concat_wide). Same contract as
     mesh_intersect_packet: (t [N], normal Vec3, mat [N]), t = -1 where no
     hit strictly closer than `t_bound`; true closest hit on active lanes.
-    `packet_rows` = packets (grid-block rows) per kernel invocation — a
-    pipelining knob only, results are identical.
+    `packet_rows` = packets (grid-block rows) per kernel invocation and
+    `cull` = keep the pop-time entry-t cull — both are perf knobs only,
+    results are identical (the cull discards only provably-useless pops;
+    tools/sim_wide.py measured it firing ZERO times on every scene's
+    bounce-ray mix, hence the False default — dropping it removes 8
+    vector->scalar t transfers + 8 SMEM writes per pop, and the want flags
+    collapse to ONE packed-bits transfer).
     """
     n = origin.x.shape[0]
     block = packet_rows * 128
@@ -301,7 +334,7 @@ def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4 + [
         jax.ShapeDtypeStruct((rows, 128), jnp.int32)]
     t, nx, ny, nz, mat = pl.pallas_call(
-        _wide_kernel,
+        functools.partial(_wide_kernel, cull=cull),
         grid=(grid,),
         in_specs=[table_spec, table_spec, table_spec,
                   pl.BlockSpec((1, 1), lambda i: (0, 0),

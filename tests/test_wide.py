@@ -118,3 +118,19 @@ def test_wide_engine_render_bitexact_vs_packet():
     img_p = render(scene, dataclasses.replace(settings, bvh_impl="pallas"),
                    chunk=4)
     np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_p))
+
+
+def test_wide_perf_knobs_invariant(teapot):
+    """packet_rows and cull are perf knobs only: results are bit-identical
+    across {packet_rows 4/8/16} x {cull on/off} (the pop-time cull discards
+    only pops that cannot change any lane's closest hit)."""
+    from pathtracer_tpu.ops.wide import mesh_intersect_wide
+
+    scene, settings = teapot
+    o, d, act = _random_rays(1024, 5)
+    ref = mesh_intersect_wide(scene, o, d, active=act, interpret=True)
+    for pr, cull in ((4, False), (16, False), (8, True)):
+        out = mesh_intersect_wide(scene, o, d, active=act, interpret=True,
+                                  packet_rows=pr, cull=cull)
+        for a, b in zip((ref[0], ref[2], *ref[1]), (out[0], out[2], *out[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
