@@ -121,6 +121,15 @@ def main():
         run("teapot d4", scene_path("teapot"), chunk=3)
         run("cow d4", scene_path("cow"), chunk=3)
         run("alien d4", scene_path("animal"), chunk=3)
+        # mesh-intersector ablation rows (production pick is the loader's)
+        run("teapot d4 wide", scene_path("teapot"), chunk=3,
+            bvh_impl="wide")
+        run("alien d4 wide", scene_path("animal"), chunk=3,
+            bvh_impl="wide")
+        run("teapot d4 binned", scene_path("teapot"), chunk=3,
+            bvh_impl="binned")
+        run("alien d4 binned", scene_path("animal"), chunk=3,
+            bvh_impl="binned")
 
     with open(args.out.replace(".md", ".json"), "w") as f:
         json.dump(rows, f, indent=1)
