@@ -151,10 +151,11 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
         def leaf_compute(entry, carry):
             """Möller-Trumbore an 8-triangle group per pop step: triangles
             ride sublanes ((8,1) fields), rays ride lanes."""
-            t_min, nx, ny, nz, mat = carry
             g0 = (entry - LEAF_TAG) // 4
             ng = (entry - LEAF_TAG) % 4
-            for g in range(MAX_WIDE_GROUPS):
+
+            def mt_group(g, carry):
+                t_min, nx, ny, nz, mat = carry
                 gi = g0 + g
                 row = jnp.minimum((gi // GROUPS_PER_TBLOCK) * 8, last_tri_row)
                 bt = pltpu.roll(trisf_ref[pl.ds(row, 8), :],
@@ -208,7 +209,17 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
                 nz = jnp.where(improved, sel(nnz * flip), nz)
                 mat = jnp.where(improved,
                                 sel(bt[:, 18:19]).astype(jnp.int32), mat)
-            return t_min, nx, ny, nz, mat
+                return t_min, nx, ny, nz, mat
+
+            carry = mt_group(0, carry)   # a leaf always has >= 1 group
+            for g in range(1, MAX_WIDE_GROUPS):
+                # ~30% of leaves are single-group (groups/leaf histograms in
+                # the sim): skip the statically-unrolled tail groups at
+                # runtime instead of masking their full MT cost
+                carry = jax.lax.cond(g < ng,
+                                     lambda cc, g=g: mt_group(g, cc),
+                                     lambda cc: cc, carry)
+            return carry
 
         def cond(c):
             return c[0] > 0
