@@ -70,6 +70,105 @@ SORT_CHUNK = 8192          # rays per segmented coherence-sort chunk
 GROUPS_PER_TBLOCK = 6      # 8-tri groups per (8,128) tris8 block
 
 
+def _slab8(nodesf_ref, nodesi_ref, entry, ray, t_min, sdir, cull: bool):
+    """Slab-test wide node `entry`'s 8 children against the packet.
+
+    ray = (ox, oy, oz, inv_x, inv_y, inv_z) of (1,128); sdir = per-axis
+    direction sums. Returns per-child ((8,1)): want count, min entry-t over
+    wanting lanes (zeros when not cull), encoded child entry; plus the
+    near-child direction bit (True = ascending slots are near-to-far)."""
+    ox, oy, oz, inv_x, inv_y, inv_z = ray
+    sdx, sdy, sdz = sdir
+    base = (entry // WIDE_NODES_PER_BLOCK) * 8
+    sh = (entry % WIDE_NODES_PER_BLOCK) * 8
+    bf = pltpu.roll(nodesf_ref[pl.ds(base, 8), :], -sh, 1)
+    bi = pltpu.roll(nodesi_ref[pl.ds(base, 8), :], -sh, 1)
+    tnx = (bf[:, 0:1] - ox) * inv_x          # (8,1)x(1,128) -> (8,128)
+    tfx = (bf[:, 3:4] - ox) * inv_x
+    tny = (bf[:, 1:2] - oy) * inv_y
+    tfy = (bf[:, 4:5] - oy) * inv_y
+    tnz = (bf[:, 2:3] - oz) * inv_z
+    tfz = (bf[:, 5:6] - oz) * inv_z
+    t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
+                                 jnp.minimum(tny, tfy)),
+                     jnp.minimum(tnz, tfz))
+    t1 = jnp.minimum(jnp.minimum(jnp.maximum(tnx, tfx),
+                                 jnp.maximum(tny, tfy)),
+                     jnp.maximum(tnz, tfz))
+    # empty child slots hold NaN boxes: every comparison is False
+    want = jnp.logical_and(t0 <= t1,
+                           jnp.logical_and(t1 > 0.0, t0 < t_min))
+    wcnt = jnp.sum(want.astype(jnp.int32), axis=1, keepdims=True)
+    if cull:
+        t0c = jnp.min(jnp.where(want, t0, FLT_MAX), axis=1, keepdims=True)
+    else:
+        t0c = jnp.zeros((8, 1), jnp.float32)      # unused without cull
+    kind = bi[:, 0:1]
+    a = bi[:, 1:2]
+    b = bi[:, 2:3]
+    centry = jnp.where(kind == 2, LEAF_TAG + a * 4 + b, a)
+    axis = bi[0, 3]
+    dsum = jnp.where(axis == 0, sdx, jnp.where(axis == 1, sdy, sdz))
+    return wcnt, t0c, centry, dsum >= 0.0
+
+
+def _mt_group8(trisf_ref, gi, gate, ray_od, carry, last_tri_row):
+    """Möller-Trumbore ONE 8-triangle group against the packet. `gate`
+    (scalar bool) masks the whole group (tail groups past a short leaf's
+    count). ray_od = (ox, oy, oz, dx, dy, dz) of (1,128)."""
+    ox, oy, oz, dx, dy, dz = ray_od
+    t_min, nx, ny, nz, mat = carry
+    row = jnp.minimum((gi // GROUPS_PER_TBLOCK) * 8, last_tri_row)
+    bt = pltpu.roll(trisf_ref[pl.ds(row, 8), :],
+                    -(gi % GROUPS_PER_TBLOCK) * TRI_STRIDE, 1)
+    v0x, v0y, v0z = bt[:, 0:1], bt[:, 1:2], bt[:, 2:3]
+    e1x, e1y, e1z = bt[:, 3:4], bt[:, 4:5], bt[:, 5:6]
+    e2x, e2y, e2z = bt[:, 6:7], bt[:, 7:8], bt[:, 8:9]
+    hx = dy * e2z - dz * e2y                  # (8,128)
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    parallel = jnp.abs(a) < EPS
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    valid = jnp.logical_and(
+        jnp.logical_and(gate, jnp.logical_not(parallel)),
+        jnp.logical_and(
+            jnp.logical_and(u >= 0.0, u <= 1.0),
+            jnp.logical_and(
+                jnp.logical_and(v >= 0.0, (u + v) <= 1.0),
+                t >= EPS)))
+    upd = jnp.logical_and(valid, t < t_min)   # strict: ties keep the first
+    t_new = jnp.min(jnp.where(upd, t, FLT_MAX), axis=0,
+                    keepdims=True)            # (1,128)
+    improved = t_new < t_min
+    rowi = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    is_min = jnp.logical_and(upd, t <= t_new)
+    idx_min = jnp.min(jnp.where(is_min, rowi, 8), axis=0, keepdims=True)
+    onehot = jnp.where(jnp.logical_and(is_min, rowi == idx_min), 1.0, 0.0)
+    w = 1.0 - u - v
+    nnx = w * bt[:, 9:10] + u * bt[:, 12:13] + v * bt[:, 15:16]
+    nny = w * bt[:, 10:11] + u * bt[:, 13:14] + v * bt[:, 16:17]
+    nnz = w * bt[:, 11:12] + u * bt[:, 14:15] + v * bt[:, 17:18]
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
+    flip = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
+                     -inv_len, inv_len)
+    sel = lambda q: jnp.sum(onehot * q, axis=0, keepdims=True)
+    t_min = jnp.where(improved, t_new, t_min)
+    nx = jnp.where(improved, sel(nnx * flip), nx)
+    ny = jnp.where(improved, sel(nny * flip), ny)
+    nz = jnp.where(improved, sel(nnz * flip), nz)
+    mat = jnp.where(improved, sel(bt[:, 18:19]).astype(jnp.int32), mat)
+    return t_min, nx, ny, nz, mat
+
+
 def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  tb_ref, act_ref,
@@ -108,117 +207,32 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
             stack_t[0] = NEG_MAX
 
         def node_compute(entry):
-            """Slab-test entry's 8 children against the packet. Returns
-            per-child ((8,1) each): want count, min entry-t over wanting
-            lanes, encoded stack entry; plus the near-child direction bit."""
-            base = (entry // WIDE_NODES_PER_BLOCK) * 8
-            sh = (entry % WIDE_NODES_PER_BLOCK) * 8
-            bf = pltpu.roll(nodesf_ref[pl.ds(base, 8), :], -sh, 1)
-            bi = pltpu.roll(nodesi_ref[pl.ds(base, 8), :], -sh, 1)
-            tnx = (bf[:, 0:1] - ox) * inv_x      # (8,1)x(1,128) -> (8,128)
-            tfx = (bf[:, 3:4] - ox) * inv_x
-            tny = (bf[:, 1:2] - oy) * inv_y
-            tfy = (bf[:, 4:5] - oy) * inv_y
-            tnz = (bf[:, 2:3] - oz) * inv_z
-            tfz = (bf[:, 5:6] - oz) * inv_z
-            t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
-                                         jnp.minimum(tny, tfy)),
-                             jnp.minimum(tnz, tfz))
-            t1 = jnp.minimum(jnp.minimum(jnp.maximum(tnx, tfx),
-                                         jnp.maximum(tny, tfy)),
-                             jnp.maximum(tnz, tfz))
-            # empty child slots hold NaN boxes: every comparison is False
-            want = jnp.logical_and(t0 <= t1,
-                                   jnp.logical_and(t1 > 0.0, t0 < t_min))
-            wcnt = jnp.sum(want.astype(jnp.int32), axis=1, keepdims=True)
-            if cull:
-                t0c = jnp.min(jnp.where(want, t0, FLT_MAX), axis=1,
-                              keepdims=True)
-            else:
-                t0c = jnp.zeros((8, 1), jnp.float32)  # unused without cull
-            kind = bi[:, 0:1]
-            a = bi[:, 1:2]
-            b = bi[:, 2:3]
-            centry = jnp.where(kind == 2, LEAF_TAG + a * 4 + b, a)
-            axis = bi[0, 3]
-            dsum = jnp.where(axis == 0, sdx, jnp.where(axis == 1, sdy, sdz))
-            return wcnt, t0c, centry, dsum >= 0.0
+            return _slab8(nodesf_ref, nodesi_ref, entry,
+                          (ox, oy, oz, inv_x, inv_y, inv_z), t_min,
+                          (sdx, sdy, sdz), cull)
 
         def node_dead(entry):
             z = jnp.zeros((8, 1), jnp.int32)
             return z, jnp.zeros((8, 1), jnp.float32), z, False
 
         def leaf_compute(entry, carry):
-            """Möller-Trumbore an 8-triangle group per pop step: triangles
-            ride sublanes ((8,1) fields), rays ride lanes."""
+            """Möller-Trumbore the leaf's 8-triangle groups: triangles ride
+            sublanes ((8,1) fields), rays ride lanes."""
             g0 = (entry - LEAF_TAG) // 4
             ng = (entry - LEAF_TAG) % 4
+            ray_od = (ox, oy, oz, dx, dy, dz)
 
-            def mt_group(g, carry):
-                t_min, nx, ny, nz, mat = carry
-                gi = g0 + g
-                row = jnp.minimum((gi // GROUPS_PER_TBLOCK) * 8, last_tri_row)
-                bt = pltpu.roll(trisf_ref[pl.ds(row, 8), :],
-                                -(gi % GROUPS_PER_TBLOCK) * TRI_STRIDE, 1)
-                v0x, v0y, v0z = bt[:, 0:1], bt[:, 1:2], bt[:, 2:3]
-                e1x, e1y, e1z = bt[:, 3:4], bt[:, 4:5], bt[:, 5:6]
-                e2x, e2y, e2z = bt[:, 6:7], bt[:, 7:8], bt[:, 8:9]
-                hx = dy * e2z - dz * e2y          # (8,128)
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                a = e1x * hx + e1y * hy + e1z * hz
-                parallel = jnp.abs(a) < EPS
-                f = 1.0 / jnp.where(parallel, 1.0, a)
-                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                v = f * (dx * qx + dy * qy + dz * qz)
-                t = f * (e2x * qx + e2y * qy + e2z * qz)
-                valid = jnp.logical_and(
-                    jnp.logical_and(g < ng, jnp.logical_not(parallel)),
-                    jnp.logical_and(
-                        jnp.logical_and(u >= 0.0, u <= 1.0),
-                        jnp.logical_and(
-                            jnp.logical_and(v >= 0.0, (u + v) <= 1.0),
-                            t >= EPS)))
-                upd = jnp.logical_and(valid, t < t_min)    # strict: ties
-                #                                            keep the first
-                t_new = jnp.min(jnp.where(upd, t, FLT_MAX), axis=0,
-                                keepdims=True)              # (1,128)
-                improved = t_new < t_min
-                rowi = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-                is_min = jnp.logical_and(upd, t <= t_new)
-                idx_min = jnp.min(jnp.where(is_min, rowi, 8), axis=0,
-                                  keepdims=True)
-                onehot = jnp.where(
-                    jnp.logical_and(is_min, rowi == idx_min), 1.0, 0.0)
-                w = 1.0 - u - v
-                nnx = w * bt[:, 9:10] + u * bt[:, 12:13] + v * bt[:, 15:16]
-                nny = w * bt[:, 10:11] + u * bt[:, 13:14] + v * bt[:, 16:17]
-                nnz = w * bt[:, 11:12] + u * bt[:, 14:15] + v * bt[:, 17:18]
-                inv_len = jax.lax.rsqrt(
-                    jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
-                flip = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
-                                 -inv_len, inv_len)
-                sel = lambda q: jnp.sum(onehot * q, axis=0, keepdims=True)
-                t_min = jnp.where(improved, t_new, t_min)
-                nx = jnp.where(improved, sel(nnx * flip), nx)
-                ny = jnp.where(improved, sel(nny * flip), ny)
-                nz = jnp.where(improved, sel(nnz * flip), nz)
-                mat = jnp.where(improved,
-                                sel(bt[:, 18:19]).astype(jnp.int32), mat)
-                return t_min, nx, ny, nz, mat
-
-            carry = mt_group(0, carry)   # a leaf always has >= 1 group
+            carry = _mt_group8(trisf_ref, g0, True, ray_od, carry,
+                               last_tri_row)   # a leaf always has >= 1 group
             for g in range(1, MAX_WIDE_GROUPS):
                 # ~30% of leaves are single-group (groups/leaf histograms in
                 # the sim): skip the statically-unrolled tail groups at
                 # runtime instead of masking their full MT cost
-                carry = jax.lax.cond(g < ng,
-                                     lambda cc, g=g: mt_group(g, cc),
-                                     lambda cc: cc, carry)
+                carry = jax.lax.cond(
+                    g < ng,
+                    lambda cc, g=g: _mt_group8(trisf_ref, g0 + g, True,
+                                               ray_od, cc, last_tri_row),
+                    lambda cc: cc, carry)
             return carry
 
         def cond(c):
@@ -297,24 +311,167 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
     jax.lax.fori_loop(0, packet_rows, packet_body, 0)
 
 
+def _wide_kernel_mask(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      tb_ref, act_ref,
+                      t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
+                      stack_n):
+    """MASK-STACK traversal variant: one packed int32 stack entry PER NODE
+    instead of one entry per wanted child.
+
+    Entry layout: bits 0..7 = remaining wanted-children mask (bit = child
+    slot), bits 8..29 = wide-node id, bit 30 = dpos (1 = ascending child
+    slots are near-to-far). Each loop iteration takes the top entry's
+    nearest remaining child: internal children are slab-tested and pushed
+    as a fresh (node, mask) entry; leaf children run Möller-Trumbore
+    inline. The top entry's mask is cleared bit-by-bit in place and the
+    entry retires when drained — exactly the push-stack kernel's DFS
+    near-to-far order, so results are bit-identical (tests/test_wide.py).
+
+    WHY: the push-stack kernel pays ~9 vector->scalar transfers + 8
+    computed SMEM writes per pop (8 child entries + want bits); this
+    variant pays ~2 transfers + 2 SMEM writes per iteration for the same
+    iteration count and identical vector work — a pure scalar-overhead
+    ablation for the TPU sweep.
+    """
+    last_tri_row = trisf_ref.shape[0] - 8
+    packet_rows = ox_ref.shape[0]
+    root = root_ref[0, 0]
+
+    def packet_body(p, _):
+        ox = ox_ref[pl.ds(p, 1), :]          # (1, 128)
+        oy = oy_ref[pl.ds(p, 1), :]
+        oz = oz_ref[pl.ds(p, 1), :]
+        dx = dx_ref[pl.ds(p, 1), :]
+        dy = dy_ref[pl.ds(p, 1), :]
+        dz = dz_ref[pl.ds(p, 1), :]
+        act = act_ref[pl.ds(p, 1), :] > 0
+        tb = tb_ref[pl.ds(p, 1), :]
+        inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        ray = (ox, oy, oz, inv_x, inv_y, inv_z)
+        ray_od = (ox, oy, oz, dx, dy, dz)
+
+        t_min0 = jnp.where(act, tb, NEG_MAX)
+        zero = jnp.zeros_like(t_min0)
+        sdir = (jnp.sum(dx), jnp.sum(dy), jnp.sum(dz))
+
+        def slab_bits(node, t_min):
+            """Packed wanted-children bits + dpos for wide node `node`."""
+            wcnt, _, _, dpos = _slab8(nodesf_ref, nodesi_ref, node, ray,
+                                      t_min, sdir, cull=False)
+            bitsv = jnp.where(
+                wcnt > 0,
+                jnp.int32(1) << jax.lax.broadcasted_iota(
+                    jnp.int32, wcnt.shape, 0),
+                0)
+            return jnp.sum(bitsv), dpos
+
+        def leaf_compute(entry, carry):
+            g0 = (entry - LEAF_TAG) // 4
+            ng = (entry - LEAF_TAG) % 4
+            carry = _mt_group8(trisf_ref, g0, True, ray_od, carry,
+                               last_tri_row)
+            for g in range(1, MAX_WIDE_GROUPS):
+                carry = jax.lax.cond(
+                    g < ng,
+                    lambda cc, g=g: _mt_group8(trisf_ref, g0 + g, True,
+                                               ray_od, cc, last_tri_row),
+                    lambda cc: cc, carry)
+            return carry
+
+        bits0, dpos0 = slab_bits(root, t_min0)
+        stack_n[0] = ((root << 8) | bits0
+                      | (dpos0.astype(jnp.int32) << 30))
+        sp0 = (bits0 != 0).astype(jnp.int32)
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t_min, nx, ny, nz, mat = c
+            e = stack_n[sp - 1]
+            mask = e & 0xFF
+            parent = (e >> 8) & 0x3FFFFF
+            dpos_b = (e >> 30) & 1
+            # nearest remaining child: lowest set bit when ascending slots
+            # are near-to-far, else highest
+            iso_lo = mask & -mask
+            h = mask | (mask >> 1)
+            h = h | (h >> 2)
+            h = h | (h >> 4)
+            iso_hi = h - (h >> 1)
+            iso = jnp.where(dpos_b == 1, iso_lo, iso_hi)
+            cix = (((iso & 0xAA) != 0).astype(jnp.int32)
+                   + ((iso & 0xCC) != 0).astype(jnp.int32) * 2
+                   + ((iso & 0xF0) != 0).astype(jnp.int32) * 4)
+            mask2 = mask & jnp.bitwise_not(iso)
+            stack_n[sp - 1] = (e & jnp.int32(~0xFF)) | mask2
+            sp = sp - (mask2 == 0).astype(jnp.int32)   # retire when drained
+
+            # child record: (kind, a, b) of slot cix — one sublane roll +
+            # static extracts (the only vector->scalar transfers this
+            # iteration besides the slab bits)
+            base = (parent // WIDE_NODES_PER_BLOCK) * 8
+            sh = (parent % WIDE_NODES_PER_BLOCK) * 8
+            bi = pltpu.roll(nodesi_ref[pl.ds(base, 8), :], -sh, 1)
+            bi_r = pltpu.roll(bi, -cix, 0)
+            kind = bi_r[0, 0]
+            a = bi_r[0, 1]
+            b = bi_r[0, 2]
+            is_leaf = kind == 2
+
+            bits, dpos2 = jax.lax.cond(
+                is_leaf, lambda _t: (jnp.int32(0), False),
+                lambda t_m: slab_bits(a, t_m), t_min)
+            entry2 = (a << 8) | bits | (dpos2.astype(jnp.int32) << 30)
+            idx = jnp.where(bits != 0, sp, STACK)
+            stack_n[idx] = entry2
+            sp = sp + (bits != 0).astype(jnp.int32)
+
+            t_min, nx, ny, nz, mat = jax.lax.cond(
+                is_leaf,
+                lambda cc: leaf_compute(LEAF_TAG + a * 4 + b, cc),
+                lambda cc: cc,
+                (t_min, nx, ny, nz, mat))
+            return sp, t_min, nx, ny, nz, mat
+
+        _, t_min, nx, ny, nz, mat = jax.lax.while_loop(
+            cond, body, (sp0, t_min0, zero, zero, zero,
+                         jnp.full(t_min0.shape, -1, jnp.int32)))
+
+        missed = mat < 0
+        t_ref[pl.ds(p, 1), :] = jnp.where(missed, -1.0, t_min)
+        nx_ref[pl.ds(p, 1), :] = nx
+        ny_ref[pl.ds(p, 1), :] = ny
+        nz_ref[pl.ds(p, 1), :] = nz
+        mat_ref[pl.ds(p, 1), :] = mat
+        return 0
+
+    jax.lax.fori_loop(0, packet_rows, packet_body, 0)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "packet_rows", "cull"))
+                   static_argnames=("interpret", "packet_rows", "cull",
+                                    "variant"))
 def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
                         active=None, t_bound=None, interpret: bool = False,
-                        packet_rows: int = PACKET_ROWS, cull: bool = False):
+                        packet_rows: int = PACKET_ROWS, cull: bool = False,
+                        variant: str = "push"):
     """8-wide per-packet-stack mesh intersection over the whole ray pool.
 
     One call covers every mesh (the wide forest concatenates them under a
     super-root, scene/bvh8.py concat_wide). Same contract as
     mesh_intersect_packet: (t [N], normal Vec3, mat [N]), t = -1 where no
     hit strictly closer than `t_bound`; true closest hit on active lanes.
-    `packet_rows` = packets (grid-block rows) per kernel invocation and
-    `cull` = keep the pop-time entry-t cull — both are perf knobs only,
-    results are identical (the cull discards only provably-useless pops;
-    tools/sim_wide.py measured it firing ZERO times on every scene's
-    bounce-ray mix, hence the False default — dropping it removes 8
-    vector->scalar t transfers + 8 SMEM writes per pop, and the want flags
-    collapse to ONE packed-bits transfer).
+
+    Perf knobs only — results identical across all of them:
+    `packet_rows` = packets (grid-block rows) per kernel invocation;
+    `cull` = keep the pop-time entry-t cull (push variant only; discards
+    only provably-useless pops, and tools/sim_wide.py measured it firing
+    ZERO times on every scene's bounce-ray mix, hence the False default);
+    `variant` = "push" (one stack entry per wanted child) or "mask" (one
+    packed (node, wantmask) entry per node — ~2 vector->scalar transfers
+    per iteration instead of ~9, see _wide_kernel_mask).
     """
     n = origin.x.shape[0]
     block = packet_rows * 128
@@ -344,8 +501,19 @@ def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
 
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4 + [
         jax.ShapeDtypeStruct((rows, 128), jnp.int32)]
+    if variant == "mask":
+        # packed entries hold the wide-node id in bits 8..29
+        n_wide = scene.nodes8_f.shape[0] // 8 * WIDE_NODES_PER_BLOCK
+        assert n_wide < (1 << 22), "wide forest too large for packed entries"
+        kernel = _wide_kernel_mask
+        # one entry per node on the DFS path (not per child): depth bound
+        scratch = [pltpu.SMEM((STACK + 1,), jnp.int32)]
+    else:
+        kernel = functools.partial(_wide_kernel, cull=cull)
+        scratch = [pltpu.SMEM((STACK + 1,), jnp.int32),
+                   pltpu.SMEM((STACK + 1,), jnp.float32)]
     t, nx, ny, nz, mat = pl.pallas_call(
-        functools.partial(_wide_kernel, cull=cull),
+        kernel,
         grid=(grid,),
         in_specs=[table_spec, table_spec, table_spec,
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -354,8 +522,7 @@ def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
                   ray_spec, ray_spec],
         out_specs=[ray_spec] * 5,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK + 1,), jnp.int32),
-                        pltpu.SMEM((STACK + 1,), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(scene.nodes8_f, scene.nodes8_i, scene.tris8, root,
       ox, oy, oz, dx, dy, dz, tb, act)

@@ -128,9 +128,13 @@ def test_wide_perf_knobs_invariant(teapot):
 
     scene, settings = teapot
     o, d, act = _random_rays(1024, 5)
-    ref = mesh_intersect_wide(scene, o, d, active=act, interpret=True)
-    for pr, cull in ((4, False), (16, False), (8, True)):
-        out = mesh_intersect_wide(scene, o, d, active=act, interpret=True,
-                                  packet_rows=pr, cull=cull)
+    bound = jnp.full((1024,), 2.5, jnp.float32)
+    ref = mesh_intersect_wide(scene, o, d, active=act, t_bound=bound,
+                              interpret=True)
+    for kw in ({"packet_rows": 4}, {"packet_rows": 16}, {"cull": True},
+               {"variant": "mask"}, {"variant": "mask", "packet_rows": 4}):
+        out = mesh_intersect_wide(scene, o, d, active=act, t_bound=bound,
+                                  interpret=True, **kw)
         for a, b in zip((ref[0], ref[2], *ref[1]), (out[0], out[2], *out[1])):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(kw))

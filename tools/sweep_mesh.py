@@ -131,7 +131,7 @@ def main():
         return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
                        o, d, hit, tb)
 
-    def run_wide(sort, packet_rows=8, cull=False):
+    def run_wide(sort, packet_rows=8, cull=False, variant="push"):
         from pathtracer_tpu.ops.wide import (mesh_intersect_wide,
                                              mesh_intersect_wide_sorted)
         if sort:
@@ -142,7 +142,7 @@ def main():
                            o, d, hit, tb)
         f = jax.jit(lambda sc, o, d, a, tb: mesh_intersect_wide(
             sc, o, d, active=a, t_bound=tb, packet_rows=packet_rows,
-            cull=cull))
+            cull=cull, variant=variant))
         return time_fn(lambda o, *a: f(scene, o, *a), o, d, hit, tb)
 
     def run_binned_fb(fb):
@@ -158,6 +158,8 @@ def main():
               flush=True)
     print(f"wide unsorted +cull:    {run_wide(False, 8, True):8.1f} ms",
           flush=True)
+    print(f"wide mask-stack:        "
+          f"{run_wide(False, variant='mask'):8.1f} ms", flush=True)
     for fb in ("packet", "wide"):
         print(f"binned fb={fb:7s}:     {run_binned_fb(fb):8.1f} ms",
               flush=True)
