@@ -381,7 +381,7 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
                     origin, direction)
         merge(t, nrm, jnp.broadcast_to(scene.geoms.material_id[i], (n,)))
 
-    if bvh_impl in ("binned", "wide") and MESH in geom_types:
+    if bvh_impl in ("binned", "wide", "wide_nosort") and MESH in geom_types:
         # one pass covers all meshes (ops/binned.py / ops/wide.py)
         mesh_roots = tuple(scene.geoms.root_node[i]
                            for i, gt in enumerate(geom_types) if gt == MESH)
@@ -390,6 +390,15 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
             t, nrm, mat = mesh_intersect_wide_sorted(
                 scene, mesh_roots, origin, direction,
                 active=active, t_bound=t_best,
+                interpret=jax.default_backend() != "tpu")
+        elif bvh_impl == "wide_nosort":
+            # the engine's tile-major lane order already carries pixel
+            # locality; skipping the octant sort costs ~15% more pops
+            # (tools/sim_wide.py) but saves two multi-operand chunk sorts
+            # (+ their relayouts) per bounce — TPU bench arbitrates
+            from .wide import mesh_intersect_wide
+            t, nrm, mat = mesh_intersect_wide(
+                scene, origin, direction, active=active, t_bound=t_best,
                 interpret=jax.default_backend() != "tpu")
         else:
             from .binned import mesh_intersect_binned

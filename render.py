@@ -29,8 +29,9 @@ def main():
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint file: resumes from it if present, and "
                          "saves to it after rendering")
-    ap.add_argument("--bvh", choices=("binned", "wide", "pallas", "sorted",
-                                      "jnp", "brute"), default=None,
+    ap.add_argument("--bvh", choices=("binned", "wide", "wide_nosort",
+                                      "pallas", "sorted", "jnp", "brute"),
+                    default=None,
                     help="mesh intersector override (default: the loader's "
                          "production pick — see scene/loader.py)")
     ap.add_argument("--engine", choices=("wavefront", "persistent"),
