@@ -118,6 +118,10 @@ def test_wide_engine_render_bitexact_vs_packet():
     img_p = render(scene, dataclasses.replace(settings, bvh_impl="pallas"),
                    chunk=4)
     np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_p))
+    img_n = render(scene,
+                   dataclasses.replace(settings, bvh_impl="wide_nosort"),
+                   chunk=4)
+    np.testing.assert_array_equal(np.asarray(img_n), np.asarray(img_p))
 
 
 def test_wide_perf_knobs_invariant(teapot):
