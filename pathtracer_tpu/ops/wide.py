@@ -68,6 +68,8 @@ STACK = 7 * MAX_DEPTH + 8  # per-packet stack bound (see scene/bvh8.py)
 LEAF_TAG = 1 << 30         # stack entries >= LEAF_TAG encode (group, count)
 SORT_CHUNK = 8192          # rays per segmented coherence-sort chunk
 GROUPS_PER_TBLOCK = 6      # 8-tri groups per (8,128) tris8 block
+VARIANT = "push"           # production traversal variant ("push" | "mask");
+#                            flip here once the TPU sweep arbitrates
 
 
 def _slab8(nodesf_ref, nodesi_ref, entry, ray, t_min, sdir, cull: bool):
@@ -456,7 +458,7 @@ def _wide_kernel_mask(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
 def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
                         active=None, t_bound=None, interpret: bool = False,
                         packet_rows: int = PACKET_ROWS, cull: bool = False,
-                        variant: str = "push"):
+                        variant: str = VARIANT):
     """8-wide per-packet-stack mesh intersection over the whole ray pool.
 
     One call covers every mesh (the wide forest concatenates them under a
@@ -534,7 +536,8 @@ def mesh_intersect_wide(scene, origin: Vec3, direction: Vec3,
 def mesh_intersect_wide_sorted(scene, mesh_roots, origin: Vec3,
                                direction: Vec3, active=None, t_bound=None,
                                interpret: bool = False,
-                               sort_chunk: int = SORT_CHUNK):
+                               sort_chunk: int = SORT_CHUNK,
+                               variant: str = VARIANT):
     """Wide-kernel traversal over COHERENCE-SORTED 128-ray packets.
 
     Same wrapper scheme as mesh_intersect_packet_sorted (bvh_pallas.py):
@@ -587,7 +590,7 @@ def mesh_intersect_wide_sorted(scene, mesh_roots, origin: Vec3,
 
     t, nrm, mat = mesh_intersect_wide(
         scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz),
-        active=cand, t_bound=tb, interpret=interpret)
+        active=cand, t_bound=tb, interpret=interpret, variant=variant)
 
     back = jax.lax.sort(
         [lane_s.reshape(-1, chunk)] + [
