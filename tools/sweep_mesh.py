@@ -160,6 +160,24 @@ def main():
           flush=True)
     print(f"wide mask-stack:        "
           f"{run_wide(False, variant='mask'):8.1f} ms", flush=True)
+
+    def run_wide_leaf8():
+        """Rebuild the scene's wide tree with max_leaf=8 (1-group leaves:
+        sim predicts ~15% fewer cycles with tail-group gating) and bench
+        the unsorted kernel on it."""
+        import pathtracer_tpu.scene.loader as L
+        from pathtracer_tpu.ops.wide import mesh_intersect_wide
+        orig = L.build_wide_bvh
+        L.build_wide_bvh = lambda tris: orig(tris, max_leaf=8)
+        try:
+            scene8, _ = L.load_scene(path)
+        finally:
+            L.build_wide_bvh = orig
+        f = jax.jit(lambda sc, o, d, a, tb: mesh_intersect_wide(
+            sc, o, d, active=a, t_bound=tb))
+        return time_fn(lambda o, *a: f(scene8, o, *a), o, d, hit, tb)
+
+    print(f"wide leaf8:             {run_wide_leaf8():8.1f} ms", flush=True)
     for fb in ("packet", "wide"):
         print(f"binned fb={fb:7s}:     {run_binned_fb(fb):8.1f} ms",
               flush=True)
