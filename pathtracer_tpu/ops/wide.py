@@ -111,7 +111,10 @@ def _slab8(nodesf_ref, nodesi_ref, entry, ray, t_min, sdir, cull: bool):
     centry = jnp.where(kind == 2, LEAF_TAG + a * 4 + b, a)
     axis = bi[0, 3]
     dsum = jnp.where(axis == 0, sdx, jnp.where(axis == 1, sdy, sdz))
-    return wcnt, t0c, centry, dsum >= 0.0
+    # int32, not bool: Mosaic lowers a Python False in the sibling
+    # lax.cond branch as i32, so a scalar-bool return trips MLIR
+    # verification ('i32 should match i1') on real TPU
+    return wcnt, t0c, centry, (dsum >= 0.0).astype(jnp.int32)
 
 
 def _mt_group8(trisf_ref, gi, gate, ray_od, carry, last_tri_row):
@@ -215,7 +218,7 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
 
         def node_dead(entry):
             z = jnp.zeros((8, 1), jnp.int32)
-            return z, jnp.zeros((8, 1), jnp.float32), z, False
+            return z, jnp.zeros((8, 1), jnp.float32), z, jnp.int32(0)
 
         def leaf_compute(entry, carry):
             """Möller-Trumbore the leaf's 8-triangle groups: triangles ride
@@ -285,7 +288,7 @@ def _wide_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
                 total = total + w[cix]
             for cix in range(8):
                 bwd = total - fwd[cix] - w[cix]
-                pos = sp + jnp.where(dpos, bwd, fwd[cix])
+                pos = sp + jnp.where(dpos == 1, bwd, fwd[cix])
                 idx = jnp.where(w[cix] > 0, pos, STACK)
                 stack_n[idx] = centry[cix, 0]
                 if cull:
@@ -423,7 +426,7 @@ def _wide_kernel_mask(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
             is_leaf = kind == 2
 
             bits, dpos2 = jax.lax.cond(
-                is_leaf, lambda _t: (jnp.int32(0), False),
+                is_leaf, lambda _t: (jnp.int32(0), jnp.int32(0)),
                 lambda t_m: slab_bits(a, t_m), t_min)
             entry2 = (a << 8) | bits | (dpos2.astype(jnp.int32) << 30)
             idx = jnp.where(bits != 0, sp, STACK)

@@ -152,6 +152,27 @@ def main():
         return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
                        o, d, hit, tb)
 
+    mode = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if mode == "passes":
+        # passes sweep: extra cull->bin->stream rounds shrink the exact
+        # fallback's residual set; live-gated blocks make marginal passes
+        # cheap (teapot p2->p3 engine delta was +0.4 ms). Also measures the
+        # no-fallback ablation per passes count (WRONG results — cost split
+        # only, shows what the fallback itself costs at that residual size).
+        import pathtracer_tpu.ops.binned as B
+        for p in (2, 3, 4, 6, 8):
+            print(f"binned passes={p}:      {run_binned(p):8.1f} ms",
+                  flush=True)
+        B.FALLBACK = False
+        # the module flag is read at trace time: drop cached traces so the
+        # flag flip actually retraces
+        B.mesh_intersect_binned.clear_cache()
+        for p in (2, 4, 8):
+            print(f"binned p={p} NOfb:      {run_binned(p):8.1f} ms",
+                  flush=True)
+        B.FALLBACK = True
+        return
+
     print(f"wide sorted:            {run_wide(True):8.1f} ms", flush=True)
     for pr in (8, 16, 32):
         print(f"wide unsorted pr={pr:3d}:   {run_wide(False, pr):8.1f} ms",
