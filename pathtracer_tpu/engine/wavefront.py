@@ -66,7 +66,7 @@ from ..ops import rng
 from ..ops.bsdf import shade
 from ..ops.camera import generate_camera_rays
 from ..ops.intersect import intersect_scene
-from ..ops.scan import sort_by_key_multisort
+from ..ops.scan import sort_by_key_multisort, sort_by_key_segmented
 from ..scene.types import RenderSettings, SceneArrays
 from ..utils.vec import Vec3
 
@@ -167,9 +167,16 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
 
     # kernSetKeys (pathtrace.cu:592-599): the key is the intersection's
     # materialId; misses keep the memset default 0 (pathtrace.cu:755).
+    # The sort is SEGMENTED over columns of the native (rows, 128) layout
+    # when the pool divides 128 (sort_by_key_segmented: relayout-free, ~6x
+    # cheaper than the full-pool multisort) — grouping scope is a locality
+    # knob, not a semantics one, since shade is elementwise and the
+    # deferred pixel unsort inverts any permutation.
     keys = jnp.where(t > 0.0, mat_id, 0)
     payload = (state, t, normal, mat_id)
-    _, (state, t, normal, mat_id) = sort_by_key_multisort(keys, payload)
+    seg_ok = state.pixel.shape[0] % 128 == 0
+    sorter = sort_by_key_segmented if seg_ok else sort_by_key_multisort
+    _, (state, t, normal, mat_id) = sorter(keys, payload)
 
     u = irng.uniforms(depth, state.pixel, 5 if settings.rr_start else 4)
     origin, direction, color, rb = shade(
@@ -305,8 +312,12 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
             cond, body, (jnp.int32(0), state, accum))
         if settings.sort_materials:
             # deferred COALESCED gather: one unsort restores lane == pixel,
-            # then terminated (gathered-marked) lanes add elementwise
-            _, (color, rb) = sort_by_key_multisort(
+            # then terminated (gathered-marked) lanes add elementwise.
+            # Segmented unsort is exact: lanes never leave their column, and
+            # within a column the original pixel order was ascending.
+            unsorter = (sort_by_key_segmented
+                        if n % 128 == 0 else sort_by_key_multisort)
+            _, (color, rb) = unsorter(
                 state.pixel, (state.color, state.remaining_bounces))
             accum = accum + Vec3.where(rb == -1, color,
                                        Vec3.zeros((n,)))

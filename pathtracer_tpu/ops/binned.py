@@ -110,6 +110,10 @@ CAND_SORT = True
 STREAM_OFF = False  # diagnostic: skip the stream kernel (WRONG results)
 CULL_CHEAP = False  # diagnostic: cull returns constant ids (WRONG results)
 FB_ROWS = 32        # packet-fallback block rows (teapot d4: 8->121.9, 32->104.3 ms)
+STREAM_ROW_CHUNK = 4  # gate stream-visit rows in chunks of this many rows
+#                       (0 = ungated static unroll); mean treelet occupancy
+#                       is ~10.6/16 rows, so tail gating saves ~24% of the
+#                       visit MT work for ~3 scalar branches
 
 
 def _extract(row, group, stride: int):
@@ -320,11 +324,31 @@ def _stream_kernel(tre_i_ref, trisf_ref,
         # a traced fori here cost more than the row tests it wrapped.
         # Short treelets mask their tail rows; the clamped load keeps the
         # index in-table (junk content is masked out by in_row).
-        for r in range(max_rows):
-            trow = trisf_ref[pl.ds(jnp.minimum(row0 + r, last_row), 1), :]
-            in_row = r < n_rows
-            for j in range(TRIS_PER_ROW):
-                cc = tri_test(trow, j, in_row, cc)
+        # STREAM_ROW_CHUNK > 0 adds scf.if gates every CHUNK rows: the mean
+        # treelet occupies ~10.6 of the 16 unrolled rows (alien), so
+        # skipping whole masked tail chunks trades a scalar branch for up
+        # to CHUNK*TRIS_PER_ROW saved MT tests.
+        chunkn = STREAM_ROW_CHUNK
+
+        def row_range(r0, r1, cc):
+            for r in range(r0, r1):
+                trow = trisf_ref[pl.ds(jnp.minimum(row0 + r, last_row),
+                                       1), :]
+                in_row = r < n_rows
+                for j in range(TRIS_PER_ROW):
+                    cc = tri_test(trow, j, in_row, cc)
+            return cc
+
+        if not chunkn:
+            cc = row_range(0, max_rows, cc)
+        else:
+            cc = row_range(0, chunkn, cc)   # every treelet has >= 1 row
+            for c0 in range(chunkn, max_rows, chunkn):
+                cc = jax.lax.cond(
+                    c0 < n_rows,
+                    lambda cc, c0=c0: row_range(
+                        c0, min(c0 + chunkn, max_rows), cc),
+                    lambda cc: cc, cc)
         g_next = jnp.min(jnp.where(tid > g, tid, TREELET_NONE))
         return g_next, cc
 

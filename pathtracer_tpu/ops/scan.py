@@ -158,6 +158,29 @@ def sort_by_key_multisort(keys: jnp.ndarray, tree):
     return out[0], jax.tree_util.tree_unflatten(treedef, out[2:])
 
 
+def sort_by_key_segmented(keys: jnp.ndarray, tree, seg: int = 128):
+    """Stable sort of a pytree by integer keys WITHIN each column of the
+    native (rows, seg=128) layout — lax.sort along dimension 0, so no
+    operand is relaid out (the same trick as ops/binned._seg_sort, where
+    contiguous-chunk sorts were measured to lose on relayout cost alone).
+
+    The COALESCED material sort only uses the permutation for memory/lane
+    locality — shading is elementwise and the deferred pixel unsort undoes
+    ANY permutation exactly — so clustering within columns instead of
+    globally changes nothing about the image (bit-equal; tests/test_engine).
+    A lane starting in column c stays in column c forever, which is also
+    what makes the final segmented pixel unsort an exact inverse."""
+    n = keys.shape[0]
+    assert n % seg == 0, f"pool {n} not divisible by segment {seg}"
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ops = [a.reshape(-1, seg)
+           for a in [keys.astype(jnp.int32), iota] + leaves]
+    out = jax.lax.sort(ops, dimension=0, num_keys=2)
+    flat = [a.reshape(-1) for a in out]
+    return flat[0], jax.tree_util.tree_unflatten(treedef, flat[2:])
+
+
 def compaction_indices(mask: jnp.ndarray, use_pallas: bool = True
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stable-partition permutation from a liveness mask.

@@ -173,6 +173,24 @@ def main():
         B.FALLBACK = True
         return
 
+    if mode == "rows":
+        # block-shape + row-chunk-gate sweep at the passes sweet spot:
+        # taller stream blocks amortize the distinct-id union (ids per
+        # block grow sublinearly with rows); chunk gates skip masked tail
+        # rows of short treelets. CULL_ROWS=16 hard-faults the TPU (device
+        # error) — cull stays at 8. Within ONE run so the remote device's
+        # run-to-run variance (measured 136 vs 182 ms for an identical
+        # config across runs) cannot fake a verdict.
+        import pathtracer_tpu.ops.binned as B
+        for sr in (8, 16, 32):
+            for chunk in (0, 4):
+                B.STREAM_ROWS, B.STREAM_ROW_CHUNK = sr, chunk
+                B.mesh_intersect_binned.clear_cache()
+                print(f"binned p=4 sr={sr:2d} chunk={chunk}: "
+                      f"{run_binned(4):8.1f} ms", flush=True)
+        B.STREAM_ROWS, B.STREAM_ROW_CHUNK = 8, 4
+        return
+
     print(f"wide sorted:            {run_wide(True):8.1f} ms", flush=True)
     for pr in (8, 16, 32):
         print(f"wide unsorted pr={pr:3d}:   {run_wide(False, pr):8.1f} ms",
