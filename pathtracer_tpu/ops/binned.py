@@ -86,12 +86,21 @@ from ..utils.vec import Vec3
 
 FLT_MAX = 3.402823466e38
 NEG_MAX = -3.402823466e38
-CULL_ROWS = 8      # rays per cull/stream block = ROWS * 128
-STREAM_ROWS = 8
+CULL_ROWS = 8      # rays per cull block = ROWS * 128 (16 hard-faults: keep 8)
+STREAM_ROWS = 16   # rays per stream block: taller blocks amortize the
+#                    distinct-id union (alien within-run: sr8 183 -> sr16
+#                    117 -> sr32 124 ms at p=4), ids/block grow sublinearly
 SORT_CHUNK = 65536  # segmented-sort chunk (bins cluster within a chunk)
-PASSES = 2          # cull->bin->stream rounds before the packet fallback
-#                     (engine-measured optimum on teapot d4: p2=134.9,
-#                     p3=135.3, p1=143.1, p0=186.1 ms/frame)
+PASSES = None       # cull->bin->stream rounds before the packet fallback.
+#                     None = scene-adaptive at trace time (tri count is a
+#                     static shape): 4 on big meshes, 2 on small ones.
+#                     TPU sweep on alien bounce rays (within-run): p2=199,
+#                     p3=139, p4=136, p6=144, p8=151 ms — the p2 fallback
+#                     cost ~124 ms of the 199 (p2 no-fallback: 75.5), and
+#                     two more live-shrinking passes buy it down to ~22.
+#                     Teapot's engine optimum was p2 (109.7 ms engine;
+#                     p4+sr16 measured 114.9), so small meshes keep 2.
+PASSES_BIG_TRIS = 24000  # tri count above which the adaptive default is 4
 FALLBACK = True     # diagnostic ablation flags (trace-time)
 FALLBACK_IMPL = "packet"  # "wide" = 8-wide per-packet-stack kernel
 #                         (ops/wide.py) — the residual lanes are already
@@ -420,11 +429,19 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     """
     if passes is None:
         passes = PASSES      # read at trace time so sweeps can retune
+    if passes is None:       # scene-adaptive: extra live-shrinking passes
+        # only pay for themselves when the fallback residual is expensive
+        # (big meshes); tri count is a static shape, so this is trace-time
+        n_tris = scene.tris_packed.shape[0] * TRIS_PER_ROW
+        passes = 4 if n_tris > PASSES_BIG_TRIS else 2
     if fallback_impl is None:
         fallback_impl = FALLBACK_IMPL
     n = origin.x.shape[0]
     chunk = 128              # _seg_sort segments = columns of (rows, 128)
-    n_pad = _pad_to(n, 65536 if BIN_CONTIGUOUS else 1024)
+    # pad so the row count divides BOTH block heights — a grid of
+    # rows // BLOCK_ROWS would otherwise silently skip the tail rows
+    block_rows = max(STREAM_ROWS, CULL_ROWS)
+    n_pad = _pad_to(n, 65536 if BIN_CONTIGUOUS else 128 * block_rows)
 
     def prep(a, fill):
         return jnp.pad(a, (0, n_pad - n), constant_values=fill)

@@ -191,6 +191,28 @@ def main():
         B.STREAM_ROWS, B.STREAM_ROW_CHUNK = 8, 4
         return
 
+    if mode == "split":
+        # per-stage cost split at the production config via the diagnostic
+        # flags (WRONG results; cost attribution only): sorts-only, +cull,
+        # +stream, +fallback — same ablation recipe as BENCH.md round 2.
+        import pathtracer_tpu.ops.binned as B
+
+        def reset():
+            B.mesh_intersect_binned.clear_cache()
+        B.FALLBACK, B.CULL_CHEAP, B.STREAM_OFF = False, True, True
+        reset()
+        print(f"sorts only:        {run_binned(None):8.1f} ms", flush=True)
+        B.CULL_CHEAP = False
+        reset()
+        print(f"+ cull:            {run_binned(None):8.1f} ms", flush=True)
+        B.STREAM_OFF = False
+        reset()
+        print(f"+ stream:          {run_binned(None):8.1f} ms", flush=True)
+        B.FALLBACK = True
+        reset()
+        print(f"+ fallback (full): {run_binned(None):8.1f} ms", flush=True)
+        return
+
     print(f"wide sorted:            {run_wide(True):8.1f} ms", flush=True)
     for pr in (8, 16, 32):
         print(f"wide unsorted pr={pr:3d}:   {run_wide(False, pr):8.1f} ms",
