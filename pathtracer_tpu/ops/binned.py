@@ -34,8 +34,8 @@ order. Results are bit-exact equal to mesh_intersect_packet on active lanes
 (tests/test_binned.py), and full engine renders are bit-identical.
 
 Engine-measured (TPU v5e, ms/frame at the scenes' checked-in 800x800 d4):
-  teapot  packet 358 | sorted-packet 189 | binned 103
-  alien   packet 1213 | sorted-packet 735 | binned 378
+  teapot  packet 358 | sorted-packet 189 | binned 103-115
+  alien   packet 1213 | sorted-packet 735 | binned 308 (round 2: 378)
 Remaining-cost breakdown and the optimization fronts for the next round are
 at the bottom of this docstring.
 (The only trustworthy timing is engine-level frame time: the remote-TPU
@@ -65,11 +65,18 @@ split per 2-pass bounce, no fallback: sorts ~2.5 ms, cull ~6 ms, STREAM
      ids scatter across blocks (only slot 0 drives the bin sort), so stream
      visits grow faster than the fallback shrinks. A K-slot variant would
      need to bin on BOTH slots (duplicate lanes) to pay off.
-  3. An 8-wide BVH with per-packet SMEM stacks (128-ray packets, children
-     on sublanes via (8,1)x(1,128) broadcasts, tri groups roll-extracted
-     16-lane records) is designed but unbuilt — it replaces union waste
-     with per-packet MIMD-ish traversal and is the likely endgame if
-     binning plateaus.
+  3. The 8-wide BVH with per-packet SMEM stacks (ops/wide.py: 128-ray
+     packets, children on sublanes via (8,1)x(1,128) broadcasts) was BUILT
+     AND MEASURED in round 3 and LOST DECISIVELY on alien bounce rays
+     (within-run, 640k rays): wide sorted 516, unsorted 684-685 (any
+     packet_rows), +pop-cull 888, mask-stack variant 556, max_leaf=8 tree
+     639 ms — vs binned 107.5. The per-pop scalar overhead (SMEM stack ops,
+     dynamic node extracts, Mosaic branch latency) dwarfs the union waste
+     it saves: a 128-ray packet still unions to enough of the tree that
+     pops are plentiful, and every pop is serial scalar work the VPU idles
+     through. It also lost as the residual fallback (binned fb=wide 123.2
+     vs fb=packet 107.5). The kernel and its tests stay as the measured
+     dead-end record; the endgame remains stream-visit reduction.
 """
 from __future__ import annotations
 
@@ -119,6 +126,9 @@ CAND_SORT = True
 STREAM_OFF = False  # diagnostic: skip the stream kernel (WRONG results)
 CULL_CHEAP = False  # diagnostic: cull returns constant ids (WRONG results)
 FB_ROWS = 32        # packet-fallback block rows (teapot d4: 8->121.9, 32->104.3 ms)
+DEFER_NORMAL = True  # normalize+flip the winning normal once per lane in
+#                      the kernel epilogue instead of per tri test
+#                      (bit-exact: same final ops on the same raw values)
 STREAM_ROW_CHUNK = 4  # gate stream-visit rows in chunks of this many rows
 #                       (0 = ungated static unroll); mean treelet occupancy
 #                       is ~10.6/16 rows, so tail gating saves ~24% of the
@@ -293,18 +303,25 @@ def _stream_kernel(tre_i_ref, trisf_ref,
         upd = jnp.logical_and(
             in_row, jnp.logical_and(valid,
                                     jnp.logical_and(t > 0.0, t < t_min)))
+        # Normalization and the facing flip are DEFERRED to after the visit
+        # loop: only the winning triangle's normal survives, so the raw
+        # interpolated normal is stored here and rsqrt+flip run once per
+        # lane instead of once per tri test (bit-exact: the final ops are
+        # the same expressions on the same raw values).
         w = 1.0 - u - v
         nnx = w * tv[0, b + 9] + u * tv[0, b + 12] + v * tv[0, b + 15]
         nny = w * tv[0, b + 10] + u * tv[0, b + 13] + v * tv[0, b + 16]
         nnz = w * tv[0, b + 11] + u * tv[0, b + 14] + v * tv[0, b + 17]
-        inv_len = jax.lax.rsqrt(
-            jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
-        flip = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
-                         -inv_len, inv_len)
+        if not DEFER_NORMAL:
+            inv_len = jax.lax.rsqrt(
+                jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
+            fl = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
+                           -inv_len, inv_len)
+            nnx, nny, nnz = nnx * fl, nny * fl, nnz * fl
         t_min = jnp.where(upd, t, t_min)
-        nx = jnp.where(upd, nnx * flip, nx)
-        ny = jnp.where(upd, nny * flip, ny)
-        nz = jnp.where(upd, nnz * flip, nz)
+        nx = jnp.where(upd, nnx, nx)
+        ny = jnp.where(upd, nny, ny)
+        nz = jnp.where(upd, nnz, nz)
         mat = jnp.where(upd, tv[0, b + 18].astype(jnp.int32), mat)
         return t_min, nx, ny, nz, mat
 
@@ -365,6 +382,13 @@ def _stream_kernel(tre_i_ref, trisf_ref,
     _, (t_min, nx, ny, nz, mat) = jax.lax.while_loop(
         cond, body, (first_id, init))
 
+    if DEFER_NORMAL:
+        # deferred per-lane normalization + flip of the winning normal
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        fl = jnp.where(dx * nx + dy * ny + dz * nz > 0.0,
+                       -inv_len, inv_len)
+        nx, ny, nz = nx * fl, ny * fl, nz * fl
     missed = t_min >= bound
     t_ref[:] = jnp.where(missed, -1.0, t_min)
     nx_ref[:] = nx

@@ -137,17 +137,15 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
             in_leaf, jnp.logical_and(valid,
                                      jnp.logical_and(t > 0.0, t < t_min)))
 
-        # smooth normal of THIS triangle (scalar corners, vector u/v weights),
-        # flipped toward the ray (triangleIntersect, intersections.cu:155-160)
+        # smooth normal of THIS triangle (scalar corners, vector u/v weights;
+        # triangleIntersect, intersections.cu:155-160). Normalization and
+        # the toward-ray flip are DEFERRED to the kernel epilogue — only the
+        # winning tri's normal survives, so rsqrt+flip once per lane beats
+        # once per tri test (bit-exact: same final ops on the same values).
         w = 1.0 - u - v
         nnx = w * tv[0, b + 9] + u * tv[0, b + 12] + v * tv[0, b + 15]
         nny = w * tv[0, b + 10] + u * tv[0, b + 13] + v * tv[0, b + 16]
         nnz = w * tv[0, b + 11] + u * tv[0, b + 14] + v * tv[0, b + 17]
-        inv_len = jax.lax.rsqrt(
-            jnp.maximum(nnx * nnx + nny * nny + nnz * nnz, 1e-30))
-        flip = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
-                         -inv_len, inv_len)
-        nnx, nny, nnz = nnx * flip, nny * flip, nnz * flip
 
         t_min = jnp.where(upd, t, t_min)
         nx = jnp.where(upd, nnx, nx)
@@ -238,11 +236,15 @@ def _packet_kernel(nodesf_ref, nodesi_ref, trisf_ref, root_ref,
             cond, make_body(always),
             (root, ENTER, t_min0, zero, zero, zero, mat0))
 
+    # deferred per-lane normalization + facing flip of the winning normal
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+    flip = jnp.where(dx * nx + dy * ny + dz * nz > 0.0, -inv_len, inv_len)
     missed = t_min >= t_bound     # nothing closer than the incoming bound
     t_ref[:] = jnp.where(missed, -1.0, t_min)
-    nx_ref[:] = nx
-    ny_ref[:] = ny
-    nz_ref[:] = nz
+    nx_ref[:] = nx * flip
+    ny_ref[:] = ny * flip
+    nz_ref[:] = nz * flip
     mat_ref[:] = jnp.where(missed, -1, mat)
 
 

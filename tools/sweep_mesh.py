@@ -191,6 +191,48 @@ def main():
         B.STREAM_ROWS, B.STREAM_ROW_CHUNK = 8, 4
         return
 
+    if mode == "prod":
+        # one number: the production binned config (adaptive passes)
+        print(f"binned production:      {run_binned(None):8.1f} ms",
+              flush=True)
+        return
+
+    if mode == "defer":
+        # within-run interleaved A/B of the deferred-normalization epilogue
+        # (cross-run variance on the remote device swamps a 10-20% effect)
+        import pathtracer_tpu.ops.binned as B
+
+        for rep in range(2):
+            for flag in (True, False):
+                B.DEFER_NORMAL = flag
+                B.mesh_intersect_binned.clear_cache()
+                print(f"defer={flag!s:5s} rep{rep}:     "
+                      f"{run_binned(None):8.1f} ms", flush=True)
+        B.DEFER_NORMAL = True
+        return
+
+    if mode == "layout":
+        # re-arbitrate the bin-sort layout + row gate at the CURRENT
+        # defaults (the round-2 contiguous verdict was taken at p2/sr8)
+        import pathtracer_tpu.ops.binned as B
+
+        def reset():
+            B.mesh_intersect_binned.clear_cache()
+        print(f"column sorts (prod):    {run_binned(None):8.1f} ms",
+              flush=True)
+        B.BIN_CONTIGUOUS = True
+        reset()
+        print(f"contiguous bins:        {run_binned(None):8.1f} ms",
+              flush=True)
+        B.BIN_CONTIGUOUS = False
+        B.STREAM_ROW_CHUNK = 2
+        reset()
+        print(f"column, row chunk=2:    {run_binned(None):8.1f} ms",
+              flush=True)
+        B.STREAM_ROW_CHUNK = 4
+        reset()
+        return
+
     if mode == "split":
         # per-stage cost split at the production config via the diagnostic
         # flags (WRONG results; cost attribution only): sorts-only, +cull,
