@@ -233,6 +233,65 @@ def main():
         reset()
         return
 
+    if mode == "leaf":
+        # treelet-size sweep UPWARD (max_leaf=48 measured worse; bigger
+        # treelets cut both the cull's per-treelet slabs and the bin
+        # misalignment that inflates distinct ids per stream block, at the
+        # price of more tail rows per visit — chunk gating absorbs those)
+        import pathtracer_tpu.ops.binned as B
+        import pathtracer_tpu.scene.loader as L
+        import pathtracer_tpu.scene.types as T
+
+        def run_leaf(ml, rows):
+            T.MAX_TRE_ROWS = B.MAX_TRE_ROWS = rows
+            try:
+                sc2, st2 = L.load_scene(path, max_leaf=ml)
+                roots2 = tuple(sc2.geoms.root_node[i]
+                               for i, g in enumerate(st2.geom_types)
+                               if g == 2)
+                B.mesh_intersect_binned.clear_cache()
+                f = jax.jit(lambda sc, rts, o, d, a, tb:
+                            B.mesh_intersect_binned(
+                                sc, rts, o, d, active=a, t_bound=tb))
+                return time_fn(lambda o, *a: f(sc2, roots2, o, *a),
+                               o, d, hit, tb)
+            finally:
+                T.MAX_TRE_ROWS = B.MAX_TRE_ROWS = 16
+
+        print(f"leaf96 rows16 (prod):   {run_leaf(96, 16):8.1f} ms",
+              flush=True)
+        for ml, rows in ((132, 22), (192, 32)):
+            print(f"leaf{ml} rows{rows}:        {run_leaf(ml, rows):8.1f} ms",
+                  flush=True)
+        # prod again: first-in-process timings are inflated on the remote
+        # device, so the honest baseline is the LAST prod row
+        print(f"leaf96 rows16 (prod):   {run_leaf(96, 16):8.1f} ms",
+              flush=True)
+        return
+
+    if mode == "csplit":
+        # cost split of the CONTIGUOUS-bin layout: if its stream collapses
+        # (runs ~2000 lanes/id -> ~2 ids per 2048-lane block) the sort
+        # relayout is the whole price and a slim-payload sort could win
+        import pathtracer_tpu.ops.binned as B
+
+        def reset():
+            B.mesh_intersect_binned.clear_cache()
+        B.BIN_CONTIGUOUS = True
+        B.FALLBACK, B.STREAM_OFF = False, True
+        reset()
+        print(f"contig sorts+cull:  {run_binned(None):8.1f} ms", flush=True)
+        B.STREAM_OFF = False
+        reset()
+        print(f"contig + stream:    {run_binned(None):8.1f} ms", flush=True)
+        B.FALLBACK = True
+        reset()
+        print(f"contig full:        {run_binned(None):8.1f} ms", flush=True)
+        B.BIN_CONTIGUOUS = False
+        reset()
+        print(f"columns full (ref): {run_binned(None):8.1f} ms", flush=True)
+        return
+
     if mode == "split":
         # per-stage cost split at the production config via the diagnostic
         # flags (WRONG results; cost attribution only): sorts-only, +cull,
