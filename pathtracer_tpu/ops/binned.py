@@ -495,7 +495,6 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     ox, oy, oz = (prep(c, 0.0) for c in origin)
     dx, dy, dz = (prep(c, 1.0) for c in direction)
     bound = prep(tb, 0.0)
-    live = prep(act, False).astype(jnp.int32)
     # unsort key = position within a _seg_sort segment (column row index,
     # or offset within the contiguous chunk when BIN_CONTIGUOUS)
     if BIN_CONTIGUOUS:
@@ -510,9 +509,12 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     bnz = jnp.zeros((n_pad,))
     bmat = jnp.full((n_pad,), -1, jnp.int32)
 
-    # enumeration state
+    # enumeration state. pid doubles as the liveness carrier (one fewer
+    # sort operand): TREELET_NONE marks a lane dead — initially for
+    # non-candidates, later for lanes whose cull found no further want
+    # (sticky: the cull kernel keeps dead lanes at NONE).
     pt0 = jnp.full((n_pad,), NEG_MAX)
-    pid = jnp.full((n_pad,), -1, jnp.int32)
+    pid = jnp.where(prep(act, False), jnp.int32(-1), TREELET_NONE)
 
     rows = n_pad // 128
     grid_c = rows // CULL_ROWS
@@ -552,29 +554,30 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         return tuple(a.reshape(-1) for a in out)
 
     # initial bin: cluster candidates so the first cull skips dead blocks
+    # (key = pid: candidates carry -1, dead lanes TREELET_NONE)
     if CAND_SORT:
-        (_, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+        (pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane,
          bt, bnx, bny, bnz, bmat) = _seg_sort(
-            chunk, 1 - live, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live,
+            chunk, pid, ox, oy, oz, dx, dy, dz, bound, pt0,
             lane, bt, bnx, bny, bnz, bmat)
 
-    state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+    state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane,
              bt, bnx, bny, bnz, bmat)
 
     for _ in range(passes):
-        (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+        (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane,
          bt, bnx, bny, bnz, bmat) = state
         # finished lanes (no want at the previous cull) are dead from here on
-        live = jnp.logical_and(live > 0, pid < TREELET_NONE).astype(jnp.int32)
+        live = (pid < TREELET_NONE).astype(jnp.int32)
         if CULL_CHEAP:
             tid = jnp.where(live > 0, jnp.zeros_like(pid), TREELET_NONE)
             tt0 = jnp.zeros_like(pt0)
         else:
             tid, tt0 = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
         # bin: sort by wanted id (NONE lanes cluster at segment ends)
-        (tid, ox, oy, oz, dx, dy, dz, bound, tt0, live, lane,
+        (tid, ox, oy, oz, dx, dy, dz, bound, tt0, lane,
          bt, bnx, bny, bnz, bmat) = _seg_sort(
-            chunk, tid, ox, oy, oz, dx, dy, dz, bound, tt0, live, lane,
+            chunk, tid, ox, oy, oz, dx, dy, dz, bound, tt0, lane,
             bt, bnx, bny, bnz, bmat)
         if STREAM_OFF:
             t = jnp.full_like(bound, -1.0)
@@ -590,7 +593,7 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         bmat = jnp.where(hit, mat, bmat)
         bound = jnp.where(hit, t, bound)
         pt0, pid = tt0, tid
-        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane,
                  bt, bnx, bny, bnz, bmat)
 
     # one more cull AFTER the last stream: lanes whose next want vanished
@@ -599,11 +602,10 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     # set sent ~half the candidates to the fallback). The rare survivors are
     # finished exactly by the packet walk; they are clustered by the last bin
     # sort, so small blocks stay coherent and dead blocks exit at the root.
-    (ox, oy, oz, dx, dy, dz, bound, pt0, pid, live, lane,
+    (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane,
      bt, bnx, bny, bnz, bmat) = state
     if FALLBACK:
-        live = jnp.logical_and(live > 0,
-                               pid < TREELET_NONE).astype(jnp.int32)
+        live = (pid < TREELET_NONE).astype(jnp.int32)
         tid_f, _ = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
         remaining = jnp.logical_and(live > 0, tid_f < TREELET_NONE)
         t, nrm, mat = _packet_fallback(scene, mesh_roots,
