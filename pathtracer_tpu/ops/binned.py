@@ -261,9 +261,14 @@ def _cull_kernel(tre_f_ref, sup_f_ref,
 def _stream_kernel(tre_i_ref, trisf_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    bound_ref, id_ref,
-                   t_ref, nx_ref, ny_ref, nz_ref, mat_ref):
+                   t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
+                   *, max_rows: int = None):
     """Stream tri rows of every DISTINCT treelet id present in the block;
-    each lane keeps its own closest hit (initialized at its bound)."""
+    each lane keeps its own closest hit (initialized at its bound).
+
+    `max_rows` is the scene's rows-per-treelet bound (static unroll length;
+    SceneArrays.treelet_rows.shape[0] — big meshes use fat 48-row treelets,
+    small ones 16)."""
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     tid = id_ref[:]
@@ -338,7 +343,8 @@ def _stream_kernel(tre_i_ref, trisf_ref,
         g = carry[0]
         return g < TREELET_NONE
 
-    max_rows = MAX_TRE_ROWS
+    if max_rows is None:
+        max_rows = MAX_TRE_ROWS
     last_row = trisf_ref.shape[0] - 1
 
     def body(carry):
@@ -539,10 +545,12 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
           r2(bound), r2(pt0), r2(pid), r2(live))
         return out[0].reshape(-1), out[1].reshape(-1)
 
+    tre_rows = scene.treelet_rows.shape[0]   # static unroll bound
+
     def stream(ox, oy, oz, dx, dy, dz, bound, tid):
         r2 = lambda a: a.reshape(-1, 128)
         out = pl.pallas_call(
-            _stream_kernel,
+            functools.partial(_stream_kernel, max_rows=tre_rows),
             grid=(rows // STREAM_ROWS,),
             in_specs=[table_spec, table_spec] + [ray_spec_s] * 8,
             out_specs=[ray_spec_s] * 5,

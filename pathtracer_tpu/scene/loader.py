@@ -31,6 +31,10 @@ from .bvh import align_leaves, build_bvh
 from .bvh8 import build_wide_bvh, concat_wide
 from .types import CUBE, MESH, SPHERE, RenderSettings, SceneArrays, make_scene_arrays
 
+# tri count above which a mesh gets fat 288-tri treelets (48 rows) and the
+# binned intersector runs 4 cull->bin->stream passes (TPU-swept on alien)
+BIG_MESH_TRIS = 24000
+
 
 def _parse_material(p: dict) -> dict:
     m = {
@@ -131,14 +135,22 @@ def orbit_camera(cam: dict, zoom: float, theta: float, phi: float,
 
 def load_scene(path: str, orbit: bool = True,
                overrides: Optional[dict] = None,
-               max_leaf: int = 96, brute_tables: bool = False
+               max_leaf: Optional[int] = None, brute_tables: bool = False,
+               tre_rows: Optional[int] = None
                ) -> Tuple[SceneArrays, RenderSettings]:
     """Load a scene JSON; returns (device arrays, static settings).
 
     `orbit=True` applies the reference app's startup camera rebuild (the camera
     actually used for its published renders). `overrides` patches camera-block
     values (e.g. {"RES": [256,256], "ITERATIONS": 64}) for small test configs.
-    """
+
+    `max_leaf=None` picks the fat-leaf size per mesh by triangle count:
+    big meshes get 288-tri treelets (48 tri rows — TPU-swept on alien bounce
+    rays: 89.0 ms vs 98.1 at 96/16; fewer distinct ids per stream block and
+    a 3x cheaper cull sweep), small meshes keep 96 (teapot was neutral-to-
+    worse at 192: 28.9 vs 24.8 ms). `tre_rows` overrides the scene's
+    rows-per-treelet bound (the stream kernel's static unroll length,
+    carried in SceneArrays.treelet_rows.shape)."""
     with open(path, "r") as f:
         data = json.load(f)
 
@@ -159,6 +171,7 @@ def load_scene(path: str, orbit: bool = True,
     tri_count = 0
     mesh_id = 0
     wide_meshes = []   # per-mesh (wide_nodes, tris8) for the 8-wide kernel
+    scene_tre_rows = 16   # rows-per-treelet bound over all meshes (min 16)
 
     for p in data["Objects"]:
         t = p["TYPE"]
@@ -183,7 +196,11 @@ def load_scene(path: str, orbit: bool = True,
             scal = p.get("SCALE", (1.0, 1.0, 1.0))
             tris = obj_loader.load_obj(resolved, override_id, trans, rotat, scal,
                                        materials)
-            nodes, reordered = build_bvh(tris, max_leaf=max_leaf)
+            n_tris = len(tris["v0"])
+            ml = max_leaf if max_leaf is not None else (
+                288 if n_tris > BIG_MESH_TRIS else 96)
+            scene_tre_rows = max(scene_tre_rows, -(-ml // 6))
+            nodes, reordered = build_bvh(tris, max_leaf=ml)
             nodes, reordered = align_leaves(nodes, reordered)
             # independent small-leaf 8-wide tree for ops/wide.py (its own
             # triangle reorder; group indices offset at concat time)
@@ -274,5 +291,7 @@ def load_scene(path: str, orbit: bool = True,
 
     wide_data = concat_wide(wide_meshes) if wide_meshes else None
     arrays = make_scene_arrays(geoms, materials, bvh_nodes, bvh_tris, cam,
-                               brute_tables=brute_tables, wide_data=wide_data)
+                               brute_tables=brute_tables, wide_data=wide_data,
+                               tre_rows=(tre_rows if tre_rows is not None
+                                         else scene_tre_rows))
     return arrays, settings

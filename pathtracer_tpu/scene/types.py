@@ -89,7 +89,7 @@ TREELET_NONE = 0x3FFFFFF  # "no treelet" id sentinel (reduction-safe int32)
 MAX_TRE_ROWS = 16         # rows per treelet bound (static stream unroll)
 
 
-def pack_treelet_tables(nodes: dict):
+def pack_treelet_tables(nodes: dict, max_rows: int = None):
     """Treelet tables for the binned intersector (ops/binned.py).
 
     A TREELET is a leaf of the (fat-leaf) BVH: a contiguous, row-aligned
@@ -129,8 +129,10 @@ def pack_treelet_tables(nodes: dict):
     i = np.zeros((ti, 4), np.int32)
     i[:T, 0] = first // TRIS_PER_ROW
     i[:T, 1] = -(-count // TRIS_PER_ROW)
-    assert int(i[:, 1].max(initial=0)) <= MAX_TRE_ROWS, (
-        "treelet exceeds MAX_TRE_ROWS — lower max_leaf or raise the bound")
+    if max_rows is None:
+        max_rows = MAX_TRE_ROWS
+    assert int(i[:, 1].max(initial=0)) <= max_rows, (
+        "treelet exceeds the rows bound — lower max_leaf or raise tre_rows")
     packed_i = i.reshape(-1, 128)
 
     # SUPER table: one super per treelet_f ROW (16 consecutive DFS treelets
@@ -400,6 +402,11 @@ class SceneArrays(NamedTuple):
     treelet_f: jnp.ndarray     # [ceil(T/16), 128] f32 bounds
     treelet_i: jnp.ndarray     # [ceil(T/32), 128] i32 row ranges
     treelet_super: jnp.ndarray  # [ceil(T/16), 128] f32 per-row union bounds
+    # shape-only static side channel: treelet_rows.shape[0] is the scene's
+    # rows-per-treelet bound (the stream kernel's static unroll length) —
+    # scene-adaptive treelet sizing without threading a static through
+    # every intersect_scene caller
+    treelet_rows: jnp.ndarray  # [tre_rows] i32 zeros (shape carries info)
     # MXU brute-force tables (pack_tris_mxu; incoherent-bounce fast path)
     tris_mxu_c: jnp.ndarray    # [Tt*4*512, 16] f32
     tris_mxu_n: jnp.ndarray    # [Tt*512, 16] f32
@@ -480,7 +487,7 @@ def _pad4(m: np.ndarray) -> np.ndarray:
 
 def make_scene_arrays(
     geom_list, material_list, bvh_nodes, bvh_tris, camera,
-    brute_tables: bool = False, wide_data=None
+    brute_tables: bool = False, wide_data=None, tre_rows: int = None
 ) -> SceneArrays:
     """Build device SceneArrays from host-side Python lists/dicts (see loader).
 
@@ -580,7 +587,8 @@ def make_scene_arrays(
         tri_dict["material_id"] = np.asarray(bvh_tris["material_id"],
                                              dtype=np.int32)
         packed_f, packed_i, packed_t = pack_bvh_tables(bvh_nodes, tri_dict)
-        treelet_f, treelet_i, treelet_super = pack_treelet_tables(bvh_nodes)
+        treelet_f, treelet_i, treelet_super = pack_treelet_tables(
+            bvh_nodes, max_rows=tre_rows)
         if brute_tables:
             mxu_c, mxu_n = pack_tris_mxu(tri_dict)
         else:
@@ -620,6 +628,8 @@ def make_scene_arrays(
                        tris_packed=packed_t,
                        treelet_f=treelet_f, treelet_i=treelet_i,
                        treelet_super=treelet_super,
+                       treelet_rows=jnp.zeros(
+                           (tre_rows or MAX_TRE_ROWS,), I32),
                        tris_mxu_c=mxu_c, tris_mxu_n=mxu_n,
                        nodes8_f=nodes8_f, nodes8_i=nodes8_i, tris8=tris8,
                        wide_root=wide_root)

@@ -240,27 +240,22 @@ def main():
         # price of more tail rows per visit — chunk gating absorbs those)
         import pathtracer_tpu.ops.binned as B
         import pathtracer_tpu.scene.loader as L
-        import pathtracer_tpu.scene.types as T
 
         def run_leaf(ml, rows):
-            T.MAX_TRE_ROWS = B.MAX_TRE_ROWS = rows
-            try:
-                sc2, st2 = L.load_scene(path, max_leaf=ml)
-                roots2 = tuple(sc2.geoms.root_node[i]
-                               for i, g in enumerate(st2.geom_types)
-                               if g == 2)
-                B.mesh_intersect_binned.clear_cache()
-                f = jax.jit(lambda sc, rts, o, d, a, tb:
-                            B.mesh_intersect_binned(
-                                sc, rts, o, d, active=a, t_bound=tb))
-                return time_fn(lambda o, *a: f(sc2, roots2, o, *a),
-                               o, d, hit, tb)
-            finally:
-                T.MAX_TRE_ROWS = B.MAX_TRE_ROWS = 16
+            sc2, st2 = L.load_scene(path, max_leaf=ml, tre_rows=rows)
+            roots2 = tuple(sc2.geoms.root_node[i]
+                           for i, g in enumerate(st2.geom_types)
+                           if g == 2)
+            B.mesh_intersect_binned.clear_cache()
+            f = jax.jit(lambda sc, rts, o, d, a, tb:
+                        B.mesh_intersect_binned(
+                            sc, rts, o, d, active=a, t_bound=tb))
+            return time_fn(lambda o, *a: f(sc2, roots2, o, *a),
+                           o, d, hit, tb)
 
         print(f"leaf96 rows16 (prod):   {run_leaf(96, 16):8.1f} ms",
               flush=True)
-        for ml, rows in ((132, 22), (192, 32)):
+        for ml, rows in ((132, 22), (192, 32), (288, 48)):
             print(f"leaf{ml} rows{rows}:        {run_leaf(ml, rows):8.1f} ms",
                   flush=True)
         # prod again: first-in-process timings are inflated on the remote
