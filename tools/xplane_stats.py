@@ -9,12 +9,19 @@ tool measures the real thing:
 
   1. the engine's stages are wrapped in jax.named_scope markers
      (pt_raygen / pt_intersect / pt_shade / pt_gather, engine/wavefront.py),
-     which XLA propagates into device-op metadata;
-  2. a fused render_chunk runs under jax.profiler.trace -> one .xplane.pb;
-  3. the xplane is parsed (tensorboard_plugin_profile protobuf), device-op
-     durations are attributed to the innermost pt_* marker found in the
-     op's name/metadata, and the in-fused-frame stage table is printed next
-     to the isolated-jit table for reconciliation.
+     which XLA records per instruction as metadata op_name;
+  2. a fused render_chunk runs under jax.profiler.trace -> one .xplane.pb
+     whose device events carry HLO instruction names ONLY (the axon
+     transport's trace has no tf_op/op_name stats — verified by dump);
+  3. the compiled module's HLO text supplies the instruction -> scope map
+     (hlo_scope_map; a fusion carries its root op's scope, which is what
+     XLA names the fusion after), control-flow CONTAINER events
+     (while/cond/call wrap the leaf ops and would triple-charge the body)
+     are excluded, and leaf device-op durations are attributed to their
+     pt_* marker. The in-fused-frame stage table prints next to the
+     isolated-jit estimate for reconciliation — on Cornell 400x400 d8 the
+     fused frame is 66% intersection, while the isolated table misguesses
+     gather at 33% (fusion folds it into neighbors).
 
 Usage: python tools/xplane_stats.py [scene.json] [--res N] [--depth N]
        (run on TPU; on CPU backends the device plane is the host)
@@ -51,17 +58,40 @@ def _load_xplane(pb_path: str):
     return xspace
 
 
-def stage_attribution(xspace):
+def hlo_scope_map(hlo_text: str) -> dict:
+    """instruction name -> jax named_scope path, from compiled HLO text.
+
+    The axon transport's xplane carries only HLO names on device events (no
+    tf_op/op_name stats — verified by dumping a trace), but the compiled
+    module's text records each instruction's metadata={op_name="jit(...)
+    /pt_intersect/..."}; joining the two recovers in-situ attribution.
+    Fusion instructions carry their ROOT op's metadata, which is exactly
+    the scope XLA names the fusion after.
+    """
+    import re
+    out = {}
+    pat = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=.*?"
+                     r"op_name=\"([^\"]*)\"")
+    for line in hlo_text.splitlines():
+        m = pat.match(line)
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
+
+
+def stage_attribution(xspace, scope_map: dict = None):
     """Sum device-op durations per pt_* marker across TPU planes.
 
     Returns (per_stage_ms: dict, other_ms, total_ms, n_events). Events whose
     name/metadata carry several markers (fully fused across stages) are
     charged to the FIRST marker that appears, which matches how XLA names
-    fusions after their root op's scope.
+    fusions after their root op's scope. `scope_map` (from hlo_scope_map)
+    supplies the scope when the trace's own metadata lacks it.
     """
     per = {s: 0.0 for s in STAGES}
     other = 0.0
     n_events = 0
+    scope_map = scope_map or {}
 
     for plane in xspace.planes:
         name = plane.name
@@ -80,6 +110,15 @@ def stage_attribution(xspace):
             for ev in line.events:
                 md = ev_meta.get(ev.metadata_id)
                 blob = (md.name + " " + md.display_name) if md else ""
+                if md and md.display_name:
+                    # control-flow CONTAINER events (while/cond/call) nest
+                    # the leaf ops — counting them would triple-charge the
+                    # loop body (verified: while.47 spans the whole frame)
+                    head = md.display_name.split(".")[0]
+                    if head in ("while", "conditional", "call",
+                                "closed_call"):
+                        continue
+                    blob += " " + scope_map.get(md.display_name, "")
                 for stat in ev.stats:
                     sm = st_meta.get(stat.metadata_id)
                     if sm and sm.name in ("tf_op", "hlo_op", "name",
@@ -149,7 +188,18 @@ def main():
               "this backend/transport; isolated-jit table follows.")
         print(measure_stages(scene, settings).table())
         return
-    per, other, total, n_events = stage_attribution(_load_xplane(pbs[-1]))
+    # instruction -> named_scope map from the compiled module (cache hit:
+    # the same shapes just ran); the axon trace events carry HLO names only
+    try:
+        hlo = render_chunk.lower(
+            scene, settings, zero_accum(settings), jnp.int32(1),
+            args.frames, 0, True).compile().as_text()
+        scope_map = hlo_scope_map(hlo)
+    except Exception as e:   # keep the tool usable if lowering API shifts
+        print(f"(no HLO scope map: {e})")
+        scope_map = {}
+    per, other, total, n_events = stage_attribution(
+        _load_xplane(pbs[-1]), scope_map)
     if args.keep:
         print(f"trace dir: {ctx_dir}")
     if n_events == 0:
