@@ -107,6 +107,10 @@ def stage_attribution(xspace, scope_map: dict = None):
             if "xla op" not in lname and "ops" != lname \
                     and "xla_op" not in lname and "tensorflow op" not in lname:
                 continue
+            # the "Async XLA Ops" line carries DMA events that OVERLAP the
+            # compute ops (16% phantom time on alien) — skip it
+            if "async" in lname:
+                continue
             for ev in line.events:
                 md = ev_meta.get(ev.metadata_id)
                 blob = (md.name + " " + md.display_name) if md else ""
