@@ -129,6 +129,20 @@ FB_ROWS = 32        # packet-fallback block rows (teapot d4: 8->121.9, 32->104.3
 DEFER_NORMAL = True  # normalize+flip the winning normal once per lane in
 #                      the kernel epilogue instead of per tri test
 #                      (bit-exact: same final ops on the same raw values)
+STREAM_UV = False    # stream kernel stores (u, v, tri index) instead of
+#                      the interpolated normal: the 15-op normal interp
+#                      leaves the per-tri hot loop entirely, every bin sort
+#                      carries one fewer operand, and ONE XLA row-gather of
+#                      scene.tri_attrs + an interp epilogue reconstructs
+#                      the winning normal after the passes (same formula,
+#                      same f32 inputs, ~1-ulp FMA-contraction envelope on
+#                      normals). MEASURED OFF: the row-gather runs ~100x
+#                      off the HBM floor on TPU (~5 ms per 640k-lane call),
+#                      which erases the kernel win — teapot engine 85.3 ->
+#                      107.2 ms/frame, alien 265.5 -> 259.1 (within-run
+#                      intersect A/B: uv 84.8 vs inline 89.0). Net loss;
+#                      kept as a measured ablation + the tri_attrs table
+#                      for any future in-kernel gather formulation.
 STREAM_ROW_CHUNK = 4  # gate stream-visit rows in chunks of this many rows
 #                       (0 = ungated static unroll); mean treelet occupancy
 #                       is ~10.6/16 rows, so tail gating saves ~24% of the
@@ -262,7 +276,7 @@ def _stream_kernel(tre_i_ref, trisf_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    bound_ref, id_ref,
                    t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
-                   *, max_rows: int = None):
+                   *, max_rows: int = None, uv_out: bool = False):
     """Stream tri rows of every DISTINCT treelet id present in the block;
     each lane keeps its own closest hit (initialized at its bound).
 
@@ -279,7 +293,7 @@ def _stream_kernel(tre_i_ref, trisf_ref,
     zero = jnp.zeros(shape, jnp.float32)
     mat0 = jnp.full(shape, -1, jnp.int32)
 
-    def tri_test(trow, j, in_row, carry):
+    def tri_test(trow, j, in_row, row_idx, carry):
         t_min, nx, ny, nz, mat = carry
         b = TRI_STRIDE * j
         tv = trow
@@ -308,6 +322,17 @@ def _stream_kernel(tre_i_ref, trisf_ref,
         upd = jnp.logical_and(
             in_row, jnp.logical_and(valid,
                                     jnp.logical_and(t > 0.0, t < t_min)))
+        t_min = jnp.where(upd, t, t_min)
+        if uv_out:
+            # store (u, v, tri index): the normal interp leaves the hot
+            # loop entirely; the host gathers tri_attrs by index once
+            # after the passes (the winning u/v/attrs are the same f32
+            # values the in-loop interp consumed)
+            tri = row_idx * TRIS_PER_ROW + j
+            nx = jnp.where(upd, u, nx)
+            ny = jnp.where(upd, v, ny)
+            mat = jnp.where(upd, tri, mat)
+            return t_min, nx, ny, nz, mat
         # Normalization and the facing flip are DEFERRED to after the visit
         # loop: only the winning triangle's normal survives, so the raw
         # interpolated normal is stored here and rsqrt+flip run once per
@@ -323,7 +348,6 @@ def _stream_kernel(tre_i_ref, trisf_ref,
             fl = jnp.where(dx * nnx + dy * nny + dz * nnz > 0.0,
                            -inv_len, inv_len)
             nnx, nny, nnz = nnx * fl, nny * fl, nnz * fl
-        t_min = jnp.where(upd, t, t_min)
         nx = jnp.where(upd, nnx, nx)
         ny = jnp.where(upd, nny, ny)
         nz = jnp.where(upd, nnz, nz)
@@ -368,7 +392,7 @@ def _stream_kernel(tre_i_ref, trisf_ref,
                                        1), :]
                 in_row = r < n_rows
                 for j in range(TRIS_PER_ROW):
-                    cc = tri_test(trow, j, in_row, cc)
+                    cc = tri_test(trow, j, in_row, row0 + r, cc)
             return cc
 
         if not chunkn:
@@ -388,6 +412,14 @@ def _stream_kernel(tre_i_ref, trisf_ref,
     _, (t_min, nx, ny, nz, mat) = jax.lax.while_loop(
         cond, body, (first_id, init))
 
+    missed = t_min >= bound
+    if uv_out:
+        t_ref[:] = jnp.where(missed, -1.0, t_min)
+        nx_ref[:] = nx                       # u
+        ny_ref[:] = ny                       # v
+        nz_ref[:] = nz                       # unused
+        mat_ref[:] = jnp.where(missed, -1, mat)   # tri index
+        return
     if DEFER_NORMAL:
         # deferred per-lane normalization + flip of the winning normal
         inv_len = jax.lax.rsqrt(
@@ -395,7 +427,6 @@ def _stream_kernel(tre_i_ref, trisf_ref,
         fl = jnp.where(dx * nx + dy * ny + dz * nz > 0.0,
                        -inv_len, inv_len)
         nx, ny, nz = nx * fl, ny * fl, nz * fl
-    missed = t_min >= bound
     t_ref[:] = jnp.where(missed, -1.0, t_min)
     nx_ref[:] = nx
     ny_ref[:] = ny
@@ -508,12 +539,16 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     else:
         lane = jnp.arange(n_pad, dtype=jnp.int32) // 128
 
-    # best-so-far (follows the rays through every permutation)
-    bt = jnp.full((n_pad,), -1.0)
-    bnx = jnp.zeros((n_pad,))
-    bny = jnp.zeros((n_pad,))
-    bnz = jnp.zeros((n_pad,))
-    bmat = jnp.full((n_pad,), -1, jnp.int32)
+    # best-so-far (follows the rays through every permutation). With
+    # STREAM_UV it is (t, u, v, tri) — one fewer sort operand than the
+    # inline (t, nx, ny, nz, mat) contract; the winning normal + material
+    # are rebuilt once by the gather epilogue after the passes.
+    zero_f = jnp.zeros((n_pad,))
+    none_i = jnp.full((n_pad,), -1, jnp.int32)
+    if STREAM_UV:
+        best = [jnp.full((n_pad,), -1.0), zero_f, zero_f, none_i]
+    else:
+        best = [jnp.full((n_pad,), -1.0), zero_f, zero_f, zero_f, none_i]
 
     # enumeration state. pid doubles as the liveness carrier (one fewer
     # sort operand): TREELET_NONE marks a lane dead — initially for
@@ -550,7 +585,8 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     def stream(ox, oy, oz, dx, dy, dz, bound, tid):
         r2 = lambda a: a.reshape(-1, 128)
         out = pl.pallas_call(
-            functools.partial(_stream_kernel, max_rows=tre_rows),
+            functools.partial(_stream_kernel, max_rows=tre_rows,
+                              uv_out=STREAM_UV),
             grid=(rows // STREAM_ROWS,),
             in_specs=[table_spec, table_spec] + [ray_spec_s] * 8,
             out_specs=[ray_spec_s] * 5,
@@ -565,16 +601,14 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     # (key = pid: candidates carry -1, dead lanes TREELET_NONE)
     if CAND_SORT:
         (pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane,
-         bt, bnx, bny, bnz, bmat) = _seg_sort(
+         *best) = _seg_sort(
             chunk, pid, ox, oy, oz, dx, dy, dz, bound, pt0,
-            lane, bt, bnx, bny, bnz, bmat)
+            lane, *best)
 
-    state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane,
-             bt, bnx, bny, bnz, bmat)
+    state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best)
 
     for _ in range(passes):
-        (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane,
-         bt, bnx, bny, bnz, bmat) = state
+        (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best) = state
         # finished lanes (no want at the previous cull) are dead from here on
         live = (pid < TREELET_NONE).astype(jnp.int32)
         if CULL_CHEAP:
@@ -584,25 +618,22 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
             tid, tt0 = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
         # bin: sort by wanted id (NONE lanes cluster at segment ends)
         (tid, ox, oy, oz, dx, dy, dz, bound, tt0, lane,
-         bt, bnx, bny, bnz, bmat) = _seg_sort(
+         *best) = _seg_sort(
             chunk, tid, ox, oy, oz, dx, dy, dz, bound, tt0, lane,
-            bt, bnx, bny, bnz, bmat)
+            *best)
         if STREAM_OFF:
             t = jnp.full_like(bound, -1.0)
-            nx = ny = nz = jnp.zeros_like(bound)
-            mat = jnp.full_like(tid, -1)
+            o1 = o2 = o3 = jnp.zeros_like(bound)
+            o4 = jnp.full_like(tid, -1)
         else:
-            t, nx, ny, nz, mat = stream(ox, oy, oz, dx, dy, dz, bound, tid)
+            t, o1, o2, o3, o4 = stream(ox, oy, oz, dx, dy, dz, bound, tid)
         hit = t > 0.0
-        bt = jnp.where(hit, t, bt)
-        bnx = jnp.where(hit, nx, bnx)
-        bny = jnp.where(hit, ny, bny)
-        bnz = jnp.where(hit, nz, bnz)
-        bmat = jnp.where(hit, mat, bmat)
+        # stream outputs: inline (t, nx, ny, nz, mat); uv (t, u, v, -, tri)
+        new = ([t, o1, o2, o4] if STREAM_UV else [t, o1, o2, o3, o4])
+        best = [jnp.where(hit, n, b) for n, b in zip(new, best)]
         bound = jnp.where(hit, t, bound)
         pt0, pid = tt0, tid
-        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane,
-                 bt, bnx, bny, bnz, bmat)
+        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best)
 
     # one more cull AFTER the last stream: lanes whose next want vanished
     # under the tightened bound are done, so the exact-remaining set is far
@@ -610,8 +641,29 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     # set sent ~half the candidates to the fallback). The rare survivors are
     # finished exactly by the packet walk; they are clustered by the last bin
     # sort, so small blocks stay coherent and dead blocks exit at the root.
-    (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane,
-     bt, bnx, bny, bnz, bmat) = state
+    (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best) = state
+    if STREAM_UV:
+        # gather epilogue: ONE row-gather of tri_attrs by the winning tri
+        # index rebuilds the normal (same interp formula on the same f32
+        # corner values the in-kernel path used) + material id. Runs in
+        # permuted space, before the fallback merge and final unsort.
+        bt, bu, bv, btri = best
+        at = jnp.take(scene.tri_attrs, jnp.maximum(btri, 0), axis=0)
+        w = 1.0 - bu - bv
+        bnx = w * at[:, 0] + bu * at[:, 3] + bv * at[:, 6]
+        bny = w * at[:, 1] + bu * at[:, 4] + bv * at[:, 7]
+        bnz = w * at[:, 2] + bu * at[:, 5] + bv * at[:, 8]
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-30))
+        fl = jnp.where(dx * bnx + dy * bny + dz * bnz > 0.0,
+                       -inv_len, inv_len)
+        hit_uv = btri >= 0
+        bnx = jnp.where(hit_uv, bnx * fl, 0.0)
+        bny = jnp.where(hit_uv, bny * fl, 0.0)
+        bnz = jnp.where(hit_uv, bnz * fl, 0.0)
+        bmat = jnp.where(hit_uv, at[:, 9].astype(jnp.int32), -1)
+    else:
+        bt, bnx, bny, bnz, bmat = best
     if FALLBACK:
         live = (pid < TREELET_NONE).astype(jnp.int32)
         tid_f, _ = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)

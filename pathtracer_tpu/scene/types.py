@@ -332,8 +332,18 @@ def pack_bvh_tables(nodes: dict, tris: dict):
     flat[:nt] = t
     packed_t[:, :TRIS_PER_ROW * TRI_STRIDE] = flat.reshape(
         rows_t, TRIS_PER_ROW * TRI_STRIDE)
+    # per-tri attrs for the deferred-gather epilogue (ops/binned.py
+    # STREAM_UV): the stream kernel stores (u, v, tri index) per winning
+    # lane and ONE XLA row-gather of this table replaces the in-loop
+    # normal interpolation. Values are byte-identical to packed_t fields
+    # 9..18 (same np.float32 source) so the deferred interp is bit-exact.
+    attrs = np.zeros((rows_t * TRIS_PER_ROW, 16), np.float32)
+    attrs[:nt, 0:3] = tris["n0"]
+    attrs[:nt, 3:6] = tris["n1"]
+    attrs[:nt, 6:9] = tris["n2"]
+    attrs[:nt, 9] = tris["material_id"].astype(np.float32)
     return (jnp.asarray(packed_f), jnp.asarray(packed_i),
-            jnp.asarray(packed_t))
+            jnp.asarray(packed_t), jnp.asarray(attrs))
 
 
 class TriangleArrays(NamedTuple):
@@ -407,6 +417,7 @@ class SceneArrays(NamedTuple):
     # scene-adaptive treelet sizing without threading a static through
     # every intersect_scene caller
     treelet_rows: jnp.ndarray  # [tre_rows] i32 zeros (shape carries info)
+    tri_attrs: jnp.ndarray     # [Nt_pad, 16] f32 (n0,n1,n2,mat) gather table
     # MXU brute-force tables (pack_tris_mxu; incoherent-bounce fast path)
     tris_mxu_c: jnp.ndarray    # [Tt*4*512, 16] f32
     tris_mxu_n: jnp.ndarray    # [Tt*512, 16] f32
@@ -555,6 +566,7 @@ def make_scene_arrays(
         packed_f = jnp.zeros((1, 128), F32)
         packed_i = jnp.full((1, 128), -1, I32)
         packed_t = jnp.zeros((1, 128), F32)
+        tri_attrs = jnp.zeros((1, 16), F32)
         inf_box = np.zeros((1, 16, 8), np.float32)
         inf_box[..., 0:3] = np.inf
         inf_box[..., 3:6] = -np.inf
@@ -586,7 +598,8 @@ def make_scene_arrays(
                     for k in ("v0", "v1", "v2", "n0", "n1", "n2")}
         tri_dict["material_id"] = np.asarray(bvh_tris["material_id"],
                                              dtype=np.int32)
-        packed_f, packed_i, packed_t = pack_bvh_tables(bvh_nodes, tri_dict)
+        packed_f, packed_i, packed_t, tri_attrs = pack_bvh_tables(
+            bvh_nodes, tri_dict)
         treelet_f, treelet_i, treelet_super = pack_treelet_tables(
             bvh_nodes, max_rows=tre_rows)
         if brute_tables:
@@ -630,6 +643,7 @@ def make_scene_arrays(
                        treelet_super=treelet_super,
                        treelet_rows=jnp.zeros(
                            (tre_rows or MAX_TRE_ROWS,), I32),
+                       tri_attrs=tri_attrs,
                        tris_mxu_c=mxu_c, tris_mxu_n=mxu_n,
                        nodes8_f=nodes8_f, nodes8_i=nodes8_i, tris8=tris8,
                        wide_root=wide_root)

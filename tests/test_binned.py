@@ -33,13 +33,28 @@ def _random_rays(n, seed):
     return o, d, act
 
 
-def test_binned_matches_packet_active_lanes(teapot):
+@pytest.mark.parametrize("stream_uv", [False, True])
+def test_binned_matches_packet_active_lanes(teapot, stream_uv):
+    """STREAM_UV=False: full bit-exactness incl. normals. STREAM_UV=True
+    (production): t/material stay bit-exact; the gather-epilogue normal is
+    the same interp formula on the same f32 inputs, but XLA's FMA
+    contraction choices differ between the fused epilogue and the in-kernel
+    path — a ~1-ulp envelope on a few % of lanes (measured max 6e-8)."""
+    import pathtracer_tpu.ops.binned as B
+
     scene, settings = teapot
     o, d, act = _random_rays(2048, 0)
     r_p = intersect_scene(scene, settings.geom_types, o, d,
                           bvh_impl="pallas", active=act)
-    r_b = intersect_scene(scene, settings.geom_types, o, d,
-                          bvh_impl="binned", active=act)
+    old = B.STREAM_UV
+    try:
+        B.STREAM_UV = stream_uv
+        B.mesh_intersect_binned.clear_cache()
+        r_b = intersect_scene(scene, settings.geom_types, o, d,
+                              bvh_impl="binned", active=act)
+    finally:
+        B.STREAM_UV = old
+        B.mesh_intersect_binned.clear_cache()
     a = np.asarray(act)
     # inactive lanes are don't-cares: the packet kernel incidentally records
     # hits for dead rays riding in live blocks, binned does not; the engine
@@ -49,8 +64,12 @@ def test_binned_matches_packet_active_lanes(teapot):
     np.testing.assert_array_equal(np.asarray(r_p[2])[a],
                                   np.asarray(r_b[2])[a])
     for c_p, c_b in zip(r_p[1], r_b[1]):
-        np.testing.assert_array_equal(np.asarray(c_p)[a],
-                                      np.asarray(c_b)[a])
+        if stream_uv:
+            np.testing.assert_allclose(np.asarray(c_p)[a],
+                                       np.asarray(c_b)[a], atol=1e-7)
+        else:
+            np.testing.assert_array_equal(np.asarray(c_p)[a],
+                                          np.asarray(c_b)[a])
 
 
 def test_binned_pass_count_invariant(teapot):
@@ -77,14 +96,54 @@ def test_binned_pass_count_invariant(teapot):
 
 @pytest.mark.slow
 def test_binned_engine_render_bitexact_vs_packet():
-    """Full progressive renders are bit-identical between intersectors."""
+    """Full progressive renders are bit-identical between intersectors
+    (STREAM_UV off: the gather epilogue's FMA contraction is the one
+    ulp-level deviation of the production default, pinned separately)."""
+    import pathtracer_tpu.ops.binned as B
+
     scene, settings = load_scene(scene_path("teapot"), overrides={
         "RES": [48, 48], "DEPTH": 4, "ITERATIONS": 4})
-    img_b = render(scene, dataclasses.replace(settings, bvh_impl="binned"),
-                   chunk=4)
+    old = B.STREAM_UV
+    try:
+        B.STREAM_UV = False
+        B.mesh_intersect_binned.clear_cache()
+        img_b = render(scene,
+                       dataclasses.replace(settings, bvh_impl="binned"),
+                       chunk=4)
+    finally:
+        B.STREAM_UV = old
+        B.mesh_intersect_binned.clear_cache()
     img_p = render(scene, dataclasses.replace(settings, bvh_impl="pallas"),
                    chunk=4)
     np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_p))
+
+
+@pytest.mark.slow
+def test_binned_engine_render_uv_mode_statistics():
+    """The STREAM_UV ablation mode (measured off by default — the XLA
+    row-gather costs more than the interp it saves): a 1-ulp normal can
+    flip a sampled path, so bit-identity is not its contract — image
+    statistics are."""
+    import pathtracer_tpu.ops.binned as B
+
+    scene, settings = load_scene(scene_path("teapot"), overrides={
+        "RES": [48, 48], "DEPTH": 4, "ITERATIONS": 4})
+    old = B.STREAM_UV
+    try:
+        B.STREAM_UV = True
+        B.mesh_intersect_binned.clear_cache()
+        img_b = render(scene,
+                       dataclasses.replace(settings, bvh_impl="binned"),
+                       chunk=4)
+    finally:
+        B.STREAM_UV = old
+        B.mesh_intersect_binned.clear_cache()
+    img_p = render(scene, dataclasses.replace(settings, bvh_impl="pallas"),
+                   chunk=4)
+    b, p = np.asarray(img_b), np.asarray(img_p)
+    assert abs(b.mean() - p.mean()) < 5e-3
+    # the overwhelming majority of pixels are untouched by path flips
+    assert (np.abs(b - p).max(axis=-1) < 1e-6).mean() > 0.98
 
 
 def test_binned_wide_fallback_contract(teapot):

@@ -121,6 +121,8 @@ def main():
         run("teapot d4", scene_path("teapot"), chunk=3)
         run("cow d4", scene_path("cow"), chunk=3)
         run("alien d4", scene_path("animal"), chunk=3)
+        run("alien d4 persistent engine", scene_path("animal"),
+            fn=bench_persistent, chunk=32)
         # mesh-intersector ablation rows (production pick is the loader's)
         run("teapot d4 wide", scene_path("teapot"), chunk=3,
             bvh_impl="wide")

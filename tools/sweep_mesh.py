@@ -85,7 +85,16 @@ def time_fn(f, o, *args, m=8):
         out = f(Vec3(ox, o.y, o.z), *args)
         dep = jnp.max(out[0]) * 0.0
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / m * 1e3
+    ms = (time.perf_counter() - t0) / m * 1e3
+    if ms < 1.0:
+        # the remote transport occasionally enters an instant-resolve state
+        # mid-process (observed: every subsequent dispatch "completes" in
+        # ~0.3 ms without computing). Nothing measured after onset can be
+        # trusted — flag loudly instead of printing garbage.
+        print(f"!! transport collapse suspected ({ms:.2f} ms for a 640k-ray "
+              f"intersect) — RESTART the sweep; later rows are invalid",
+              flush=True)
+    return ms
 
 
 def main():
@@ -209,6 +218,19 @@ def main():
                 print(f"defer={flag!s:5s} rep{rep}:     "
                       f"{run_binned(None):8.1f} ms", flush=True)
         B.DEFER_NORMAL = True
+        return
+
+    if mode == "uv":
+        # within-run interleaved A/B of the (u,v,tri)+gather stream contract
+        import pathtracer_tpu.ops.binned as B
+
+        for rep in range(2):
+            for flag in (True, False):
+                B.STREAM_UV = flag
+                B.mesh_intersect_binned.clear_cache()
+                print(f"uv={flag!s:5s} rep{rep}:        "
+                      f"{run_binned(None):8.1f} ms", flush=True)
+        B.STREAM_UV = True
         return
 
     if mode == "layout":
