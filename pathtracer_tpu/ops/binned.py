@@ -34,8 +34,12 @@ order. Results are bit-exact equal to mesh_intersect_packet on active lanes
 (tests/test_binned.py), and full engine renders are bit-identical.
 
 Engine-measured (TPU v5e, ms/frame at the scenes' checked-in 800x800 d4):
-  teapot  packet 358 | sorted-packet 189 | binned 103-115
-  alien   packet 1213 | sorted-packet 735 | binned 308 (round 2: 378)
+  teapot  packet 358 | sorted-packet 189 | binned 85   (round 2: 103)
+  alien   packet 1213 | sorted-packet 735 | binned 266 (round 2: 378)
+Round-3 deltas, each TPU-measured within-run: STREAM_ROWS 8->16 (alien
+sr8 183 -> sr16 117), scene-adaptive passes (4 big / 2 small), deferred
+normal epilogue (100.0 vs 104.3), fat 288-tri treelets on big meshes
+(89.0 vs 98.1), liveness folded into pid (one fewer sort operand).
 Remaining-cost breakdown and the optimization fronts for the next round are
 at the bottom of this docstring.
 (The only trustworthy timing is engine-level frame time: the remote-TPU
@@ -49,22 +53,20 @@ intersector; the reference's per-thread MIMD walk has no union waste to
 avoid, ours buys the same property with sorts the GPU would spend on
 COALESCED material sorting (pathtrace.cu:825-841).
 
-OPEN FRONTS (alien d4 = 378 ms vs the reference's 22; diagnostic ablation
-split per 2-pass bounce, no fallback: sorts ~2.5 ms, cull ~6 ms, STREAM
-~24 ms; the exact fallback adds ~59 ms/bounce):
-  1. Stream visits: column-rank binning puts ~19 distinct ids in an (8,128)
-     block on alien (vs ~4 if runs were contiguous); contiguous-chunk bins
-     were measured SLOWER overall (relayout of 16 operands per sort), so
-     the win needs tighter rank alignment without relayout — e.g. a second
-     column sort keyed by (id, rank-noise-free quantile) or smaller-T
-     treelet re-grouping.
-  2. Fallback absorption: ~19% of alien's pool still has a want after 2
-     passes (wants|candidate = 4.6). BUILT AND MEASURED: a 2-slot want
-     capture (two id slots riding the bin sort, stream iterating the slot
-     union) LOST — teapot 119 vs 103, alien 370-398 vs 378 ms: the slot-1
-     ids scatter across blocks (only slot 0 drives the bin sort), so stream
-     visits grow faster than the fallback shrinks. A K-slot variant would
-     need to bin on BOTH slots (duplicate lanes) to pay off.
+OPEN FRONTS (alien d4 = 266 ms vs the reference's 22; within-run ablation
+at the production p4/sr16/fat-treelet config on alien bounce rays:
+full 84.5 ms, no-fallback 67.1, i.e. cull+sorts+stream 67 + fallback 17):
+  1. Stream visits: column-rank binning still puts boundary-straddling ids
+     in every (16,128) block; contiguous-chunk bins re-measured SLOWER at
+     the current config too (132 vs ~100 — relayout of every sort
+     operand), so the win still needs rank alignment without relayout.
+     Fat 288-tri treelets (round 3) bought part of this by shrinking the
+     id universe 768 -> 272.
+  2. Fallback absorption: down to ~17 ms/bounce-pool (p4 + fat treelets;
+     was ~59 at p2/96-tri). BUILT AND MEASURED dead-ends: 2-slot want
+     capture (slot-1 ids scatter across blocks), wide-kernel residual
+     finish (123.2 vs 107.5), STREAM_UV gather contract (see flag note:
+     the XLA row-gather costs more than the interp it removes).
   3. The 8-wide BVH with per-packet SMEM stacks (ops/wide.py: 128-ray
      packets, children on sublanes via (8,1)x(1,128) broadcasts) was BUILT
      AND MEASURED in round 3 and LOST DECISIVELY on alien bounce rays
