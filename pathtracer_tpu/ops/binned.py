@@ -110,6 +110,10 @@ PASSES = None       # cull->bin->stream rounds before the packet fallback.
 #                     Teapot's engine optimum was p2 (109.7 ms engine;
 #                     p4+sr16 measured 114.9), so small meshes keep 2.
 PASSES_BIG_TRIS = 24000  # tri count above which the adaptive default is 4
+EXPAND = None       # int K = multi-want expansion pipeline (one K-want cull
+#                     sweep + one K-fold expanded bin/stream round) instead
+#                     of `PASSES` sequential cull->bin->stream rounds.
+#                     None = off (pass-sequential production path).
 FALLBACK = True     # diagnostic ablation flags (trace-time)
 FALLBACK_IMPL = "packet"  # "wide" = 8-wide per-packet-stack kernel
 #                         (ops/wide.py) — the residual lanes are already
@@ -162,16 +166,24 @@ def _extract(row, group, stride: int):
 def _cull_kernel(tre_f_ref, sup_f_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  bound_ref, pt0_ref, pid_ref, live_ref,
-                 id_ref, t0_ref):
-    """Per lane: the minimum (entry_t, id) wanted treelet STRICTLY after
-    (prev_t0, prev_id) in lexicographic order, among treelets whose AABB is
-    hit closer than the lane's bound. id = TREELET_NONE if none remain.
+                 *out_refs, k_wants: int = 1):
+    """Per lane: the `k_wants` minimum (entry_t, id) wanted treelets STRICTLY
+    after (prev_t0, prev_id) in lexicographic order, among treelets whose
+    AABB is hit closer than the lane's bound. Outputs are k_wants (id, t0)
+    ref pairs, slot 0 = nearest; id = TREELET_NONE where fewer wants remain
+    (slots fill front-to-back, so slot j NONE implies all later slots NONE).
 
     Pure vector sweep over all treelets — no per-treelet branching, so cost
-    is exactly T x ~50 VPU ops per block; blocks with no live lane skip the
-    sweep entirely (live lanes are sorted together by the caller).
+    is exactly T x ~(50 + 7*k) VPU ops per block; blocks with no live lane
+    skip the sweep entirely (live lanes are sorted together by the caller).
+    ONE k-want sweep replaces k single-want sweeps (the slab tests — the
+    bulk of the cost — are shared; only the ~7-op sorted-slot insertion
+    repeats per slot), which is what makes the expansion pipeline's
+    enumeration ~k times cheaper than the pass-sequential pipeline's.
     """
     n_rows = tre_f_ref.shape[0]
+    id_refs = out_refs[0::2]
+    t0_refs = out_refs[1::2]
 
     live_any = jnp.sum(live_ref[:]) > 0
 
@@ -225,7 +237,6 @@ def _cull_kernel(tre_f_ref, sup_f_ref,
             # static lane extracts (frow[0, k*8+f]) instead of a dynamic
             # pltpu.roll per treelet — the roll was pure overhead.
             for k in range(TREELETS_PER_FROW):
-                best_t0, best_id = carry
                 b = 8 * k
                 tid = r * TREELETS_PER_FROW + k
                 tnx = (frow[0, b + 0] - ox) * inv_x
@@ -248,26 +259,60 @@ def _cull_kernel(tre_f_ref, sup_f_ref,
                 after = jnp.logical_or(
                     t0 > prev_t0,
                     jnp.logical_and(t0 == prev_t0, tid > prev_id))
-                # lexicographic min among remaining wants
-                closer = jnp.logical_or(
-                    t0 < best_t0,
-                    jnp.logical_and(t0 == best_t0, tid < best_id))
-                upd = jnp.logical_and(want, jnp.logical_and(after, closer))
-                best_t0 = jnp.where(upd, t0, best_t0)
-                best_id = jnp.where(upd, tid, best_id)
-                carry = (best_t0, best_id)
+                cand_ok = jnp.logical_and(want, after)
+                if k_wants == 1:
+                    best_t0, best_id = carry
+                    # lexicographic min among remaining wants
+                    closer = jnp.logical_or(
+                        t0 < best_t0,
+                        jnp.logical_and(t0 == best_t0, tid < best_id))
+                    upd = jnp.logical_and(cand_ok, closer)
+                    best_t0 = jnp.where(upd, t0, best_t0)
+                    best_id = jnp.where(upd, tid, best_id)
+                    carry = (best_t0, best_id)
+                else:
+                    # bubble-insert into the K sorted (t0, id) slots: the
+                    # candidate sinks until it displaces a farther entry;
+                    # the displaced entry continues sinking. Non-candidates
+                    # become (FLT_MAX, NONE), which never win the lex test.
+                    t0s = list(carry[:k_wants])
+                    ids = list(carry[k_wants:])
+                    c_t0 = jnp.where(cand_ok, t0, FLT_MAX)
+                    c_id = jnp.where(cand_ok, tid, TREELET_NONE)
+                    for s in range(k_wants):
+                        closer = jnp.logical_or(
+                            c_t0 < t0s[s],
+                            jnp.logical_and(c_t0 == t0s[s], c_id < ids[s]))
+                        n_t0 = jnp.where(closer, c_t0, t0s[s])
+                        n_id = jnp.where(closer, c_id, ids[s])
+                        c_t0 = jnp.where(closer, t0s[s], c_t0)
+                        c_id = jnp.where(closer, ids[s], c_id)
+                        t0s[s], ids[s] = n_t0, n_id
+                    carry = tuple(t0s) + tuple(ids)
             return carry
 
-        best_t0, best_id = jax.lax.fori_loop(
-            0, n_rows, row_body,
-            (best_t0, best_id))
-        id_ref[:] = best_id
-        t0_ref[:] = best_t0
+        if k_wants == 1:
+            init = (best_t0, best_id)
+        else:
+            init = tuple(jnp.full(ox.shape, FLT_MAX)
+                         for _ in range(k_wants)) + tuple(
+                jnp.full(ox.shape, TREELET_NONE, jnp.int32)
+                for _ in range(k_wants))
+        out = jax.lax.fori_loop(0, n_rows, row_body, init)
+        if k_wants == 1:
+            id_refs[0][:] = out[1]
+            t0_refs[0][:] = out[0]
+        else:
+            for s in range(k_wants):
+                id_refs[s][:] = out[k_wants + s]
+                t0_refs[s][:] = out[s]
 
     @pl.when(jnp.logical_not(live_any))
     def _():
-        id_ref[:] = jnp.full(id_ref.shape, TREELET_NONE, jnp.int32)
-        t0_ref[:] = jnp.full(t0_ref.shape, FLT_MAX)
+        for s in range(len(id_refs)):
+            id_refs[s][:] = jnp.full(id_refs[s].shape, TREELET_NONE,
+                                     jnp.int32)
+            t0_refs[s][:] = jnp.full(t0_refs[s].shape, FLT_MAX)
 
 
 # ---------------------------------------------------------------------------
@@ -476,11 +521,13 @@ def _pad_to(n: int, m: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "passes", "fallback_impl"))
+                   static_argnames=("interpret", "passes", "fallback_impl",
+                                    "expand"))
 def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
                           active=None, t_bound=None,
                           interpret: bool = False, passes: int | None = None,
-                          fallback_impl: str | None = None):
+                          fallback_impl: str | None = None,
+                          expand: int | None = None):
     """Binned-treelet mesh intersection over the whole ray pool.
 
     Covers ALL meshes in one pass (treelets span every mesh's leaves);
@@ -489,7 +536,20 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     `passes`. Same contract as mesh_intersect_packet: (t [N], normal Vec3,
     mat [N]), t = -1 where nothing is closer than `t_bound`; true closest
     hit.
+
+    `expand` = K > 0 runs the MULTI-WANT EXPANSION pipeline instead of the
+    pass-sequential loop: ONE K-want cull sweep enumerates each lane's K
+    nearest treelets, the pool is expanded K-fold into (ray, want) pairs,
+    ONE bin sort clusters the pairs by treelet id (id runs are ~K times
+    longer, so stream blocks see far fewer distinct ids), one stream pass
+    tests them, and the K slots merge per ray in enumeration order (strict
+    <, so ties resolve exactly as the sequential passes did). Lanes whose
+    enumeration exceeds K finish in the exact fallback, same as `passes`.
     """
+    if expand is None:
+        expand = EXPAND      # module flag, read at trace time for sweeps
+    if expand is not None and expand < 1:
+        expand = None
     if passes is None:
         passes = PASSES      # read at trace time so sweeps can retune
     if passes is None:       # scene-adaptive: extra live-shrinking passes
@@ -541,17 +601,6 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     else:
         lane = jnp.arange(n_pad, dtype=jnp.int32) // 128
 
-    # best-so-far (follows the rays through every permutation). With
-    # STREAM_UV it is (t, u, v, tri) — one fewer sort operand than the
-    # inline (t, nx, ny, nz, mat) contract; the winning normal + material
-    # are rebuilt once by the gather epilogue after the passes.
-    zero_f = jnp.zeros((n_pad,))
-    none_i = jnp.full((n_pad,), -1, jnp.int32)
-    if STREAM_UV:
-        best = [jnp.full((n_pad,), -1.0), zero_f, zero_f, none_i]
-    else:
-        best = [jnp.full((n_pad,), -1.0), zero_f, zero_f, zero_f, none_i]
-
     # enumeration state. pid doubles as the liveness carrier (one fewer
     # sort operand): TREELET_NONE marks a lane dead — initially for
     # non-candidates, later for lanes whose cull found no further want
@@ -567,47 +616,107 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
                               memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live):
+    def cull_k(k, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live):
         r2 = lambda a: a.reshape(-1, 128)
         out = pl.pallas_call(
-            _cull_kernel,
+            functools.partial(_cull_kernel, k_wants=k),
             grid=(grid_c,),
             in_specs=[table_spec, table_spec] + [ray_spec_c] * 10,
-            out_specs=[ray_spec_c] * 2,
+            out_specs=[ray_spec_c] * (2 * k),
             out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-                       jax.ShapeDtypeStruct((rows, 128), jnp.float32)],
+                       jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * k,
             interpret=interpret,
         )(scene.treelet_f, scene.treelet_super,
           r2(ox), r2(oy), r2(oz), r2(dx), r2(dy), r2(dz),
           r2(bound), r2(pt0), r2(pid), r2(live))
-        return out[0].reshape(-1), out[1].reshape(-1)
+        ids = [out[2 * s].reshape(-1) for s in range(k)]
+        t0s = [out[2 * s + 1].reshape(-1) for s in range(k)]
+        return ids, t0s
+
+    def cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live):
+        ids, t0s = cull_k(1, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
+        return ids[0], t0s[0]
 
     tre_rows = scene.treelet_rows.shape[0]   # static unroll bound
 
     def stream(ox, oy, oz, dx, dy, dz, bound, tid):
+        s_rows = ox.shape[0] // 128          # pool may be K-fold expanded
         r2 = lambda a: a.reshape(-1, 128)
         out = pl.pallas_call(
             functools.partial(_stream_kernel, max_rows=tre_rows,
                               uv_out=STREAM_UV),
-            grid=(rows // STREAM_ROWS,),
+            grid=(s_rows // STREAM_ROWS,),
             in_specs=[table_spec, table_spec] + [ray_spec_s] * 8,
             out_specs=[ray_spec_s] * 5,
-            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
-            + [jax.ShapeDtypeStruct((rows, 128), jnp.int32)],
+            out_shape=[jax.ShapeDtypeStruct((s_rows, 128), jnp.float32)] * 4
+            + [jax.ShapeDtypeStruct((s_rows, 128), jnp.int32)],
             interpret=interpret,
         )(scene.treelet_i, scene.tris_packed, r2(ox), r2(oy), r2(oz),
           r2(dx), r2(dy), r2(dz), r2(bound), r2(tid))
         return tuple(a.reshape(-1) for a in out)
 
     # initial bin: cluster candidates so the first cull skips dead blocks
-    # (key = pid: candidates carry -1, dead lanes TREELET_NONE)
+    # (key = pid: candidates carry -1, dead lanes TREELET_NONE). best-so-far
+    # is initialized AFTER this sort — it is all-constant here, so it does
+    # not need to ride the permutation.
     if CAND_SORT:
-        (pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane,
-         *best) = _seg_sort(
-            chunk, pid, ox, oy, oz, dx, dy, dz, bound, pt0,
-            lane, *best)
+        (pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane) = _seg_sort(
+            chunk, pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane)
+
+    # best-so-far (follows the rays through every later permutation). With
+    # STREAM_UV it is (t, u, v, tri) — one fewer sort operand than the
+    # inline (t, nx, ny, nz, mat) contract; the winning normal + material
+    # are rebuilt once by the gather epilogue after the passes.
+    zero_f = jnp.zeros((n_pad,))
+    none_i = jnp.full((n_pad,), -1, jnp.int32)
+    if STREAM_UV:
+        best = [jnp.full((n_pad,), -1.0), zero_f, zero_f, none_i]
+    else:
+        best = [jnp.full((n_pad,), -1.0), zero_f, zero_f, zero_f, none_i]
 
     state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best)
+
+    if expand:
+        # ---- multi-want expansion: one K-want cull, one K-fold round ----
+        assert not STREAM_UV, "expansion uses the inline stream contract"
+        assert not BIN_CONTIGUOUS, "expansion pos key assumes column segs"
+        K = expand
+        live = (pid < TREELET_NONE).astype(jnp.int32)
+        ids, t0s = cull_k(K, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
+        # expand to (ray, want) pairs, slot-major; pos restores this layout
+        rep = lambda a: jnp.concatenate([a] * K, 0)
+        e_tid = jnp.concatenate(ids, 0)
+        pos = jnp.arange(K * n_pad, dtype=jnp.int32) // 128
+        # bin: ONE sort clusters all pairs by wanted id (NONE pairs — dead
+        # lanes and sub-K want lists — cluster at segment ends; their
+        # blocks exit the stream loop at the first min-reduction)
+        (e_tid, e_ox, e_oy, e_oz, e_dx, e_dy, e_dz, e_bound,
+         pos) = _seg_sort(
+            chunk, e_tid, rep(ox), rep(oy), rep(oz),
+            rep(dx), rep(dy), rep(dz), rep(bound), pos)
+        t, o1, o2, o3, o4 = stream(e_ox, e_oy, e_oz, e_dx, e_dy, e_dz,
+                                   e_bound, e_tid)
+        # unsort pairs back to slot-major layout
+        pos, t, o1, o2, o3, o4 = _seg_sort(chunk, pos, t, o1, o2, o3, o4)
+        # merge the K slots in enumeration order: strict < keeps the
+        # earlier slot on exact ties — the same winner the sequential
+        # passes produce (pass k streams want k with the tightened bound)
+        for s in range(K):
+            sl_s = slice(s * n_pad, (s + 1) * n_pad)
+            t_s = t[sl_s]
+            better = jnp.logical_and(
+                t_s > 0.0,
+                jnp.logical_or(best[0] <= 0.0, t_s < best[0]))
+            new_s = [t_s, o1[sl_s], o2[sl_s], o3[sl_s], o4[sl_s]]
+            best = [jnp.where(better, n_, b_)
+                    for n_, b_ in zip(new_s, best)]
+        bound = jnp.where(best[0] > 0.0, best[0], bound)
+        # residual enumeration state: lanes with fewer than K wants are
+        # exhausted (slot K-1 is NONE, the sticky-dead marker); the rest
+        # resume strictly after slot K-1 under the tightened bound
+        pt0, pid = t0s[K - 1], ids[K - 1]
+        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best)
+        passes = 0           # skip the sequential loop below
 
     for _ in range(passes):
         (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best) = state

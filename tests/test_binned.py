@@ -72,6 +72,29 @@ def test_binned_matches_packet_active_lanes(teapot, stream_uv):
                                           np.asarray(c_b)[a])
 
 
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_binned_expand_bitexact(teapot, k):
+    """The multi-want expansion pipeline (expand=K: one K-want cull sweep,
+    K-fold expanded bin/stream, slot-order merge) is bit-exact vs the
+    pass-sequential pipeline on active lanes — same t, normal, material."""
+    from pathtracer_tpu.ops.binned import mesh_intersect_binned
+
+    scene, settings = teapot
+    o, d, act = _random_rays(1024, 3)
+    roots = tuple(scene.geoms.root_node[i]
+                  for i, g in enumerate(settings.geom_types) if g == 2)
+    t_s, n_s, m_s = mesh_intersect_binned(
+        scene, roots, o, d, active=act, interpret=True)
+    t_e, n_e, m_e = mesh_intersect_binned(
+        scene, roots, o, d, active=act, interpret=True, expand=k)
+    a = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(t_s)[a], np.asarray(t_e)[a])
+    np.testing.assert_array_equal(np.asarray(m_s)[a], np.asarray(m_e)[a])
+    for c_s, c_e in zip(n_s, n_e):
+        np.testing.assert_array_equal(np.asarray(c_s)[a],
+                                      np.asarray(c_e)[a])
+
+
 def test_binned_pass_count_invariant(teapot):
     """Results must not depend on how many cull->bin->stream passes run
     before the exact fallback (the fallback guarantees completeness)."""

@@ -206,6 +206,51 @@ def main():
               flush=True)
         return
 
+    if mode == "expand":
+        # within-run A/B of the multi-want expansion pipeline vs the
+        # pass-sequential production config, sweeping the want count K
+        from pathtracer_tpu.ops.binned import mesh_intersect_binned
+
+        def run_expand(k):
+            f = jax.jit(lambda sc, rts, o, d, a, tb: mesh_intersect_binned(
+                sc, rts, o, d, active=a, t_bound=tb, expand=k))
+            return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
+                           o, d, hit, tb)
+
+        for rep in range(2):
+            print(f"sequential prod rep{rep}: {run_binned(None):8.1f} ms",
+                  flush=True)
+            for k in (2, 3, 4, 6):
+                print(f"expand K={k} rep{rep}:     {run_expand(k):8.1f} ms",
+                      flush=True)
+        return
+
+    if mode == "expand_nofb":
+        # cost split: pipeline-only (WRONG results — no fallback) for the
+        # sequential vs expansion formulations, interleaved within-run
+        import pathtracer_tpu.ops.binned as B
+        from pathtracer_tpu.ops.binned import mesh_intersect_binned
+
+        def run_expand(k):
+            f = jax.jit(lambda sc, rts, o, d, a, tb: mesh_intersect_binned(
+                sc, rts, o, d, active=a, t_bound=tb, expand=k))
+            return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
+                           o, d, hit, tb)
+
+        B.FALLBACK = False
+        B.mesh_intersect_binned.clear_cache()
+        try:
+            for rep in range(2):
+                print(f"seq NOfb rep{rep}:        {run_binned(None):8.1f} ms",
+                      flush=True)
+                for k in (2, 4, 6):
+                    print(f"expand K={k} NOfb rep{rep}:{run_expand(k):8.1f}"
+                          " ms", flush=True)
+        finally:
+            B.FALLBACK = True
+            B.mesh_intersect_binned.clear_cache()
+        return
+
     if mode == "defer":
         # within-run interleaved A/B of the deferred-normalization epilogue
         # (cross-run variance on the remote device swamps a 10-20% effect)
