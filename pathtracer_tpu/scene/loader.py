@@ -136,7 +136,7 @@ def orbit_camera(cam: dict, zoom: float, theta: float, phi: float,
 def load_scene(path: str, orbit: bool = True,
                overrides: Optional[dict] = None,
                max_leaf: Optional[int] = None, brute_tables: bool = False,
-               tre_rows: Optional[int] = None
+               tre_rows: Optional[int] = None, wide_tables: bool = False
                ) -> Tuple[SceneArrays, RenderSettings]:
     """Load a scene JSON; returns (device arrays, static settings).
 
@@ -150,7 +150,12 @@ def load_scene(path: str, orbit: bool = True,
     a 3x cheaper cull sweep), small meshes keep 96 (teapot was neutral-to-
     worse at 192: 28.9 vs 24.8 ms). `tre_rows` overrides the scene's
     rows-per-treelet bound (the stream kernel's static unroll length,
-    carried in SceneArrays.treelet_rows.shape)."""
+    carried in SceneArrays.treelet_rows.shape).
+
+    `wide_tables=True` additionally builds the 8-wide BVH tables for the
+    measured-dead-end packet-stack kernel (ops/wide.py, bvh_impl="wide" /
+    fallback_impl="wide"); off by default so mesh loads do zero bvh8 work
+    — the production binned intersector never touches them."""
     with open(path, "r") as f:
         data = json.load(f)
 
@@ -202,9 +207,10 @@ def load_scene(path: str, orbit: bool = True,
             scene_tre_rows = max(scene_tre_rows, -(-ml // 6))
             nodes, reordered = build_bvh(tris, max_leaf=ml)
             nodes, reordered = align_leaves(nodes, reordered)
-            # independent small-leaf 8-wide tree for ops/wide.py (its own
-            # triangle reorder; group indices offset at concat time)
-            wide_meshes.append(build_wide_bvh(tris))
+            if wide_tables:
+                # independent small-leaf 8-wide tree for ops/wide.py (its
+                # own triangle reorder; group indices offset at concat time)
+                wide_meshes.append(build_wide_bvh(tris))
             # Global offset fix-up (scene.cpp:178-189)
             n_new = nodes["tri_first"].shape[0]
             is_leaf = nodes["tri_count"] > 0

@@ -58,7 +58,9 @@ def main():
     if args.depth is not None:
         overrides["DEPTH"] = args.depth
 
-    scene, settings = load_scene(args.scene, overrides=overrides or None)
+    scene, settings = load_scene(
+        args.scene, overrides=overrides or None,
+        wide_tables=(args.bvh in ("wide", "wide_nosort")))
     if args.no_jitter or args.no_dof:
         settings = dataclasses.replace(
             settings, jitter=not args.no_jitter, dof=not args.no_dof)

@@ -24,7 +24,9 @@ from pathtracer_tpu.utils.vec import Vec3
 
 @pytest.fixture(scope="module")
 def teapot():
-    return load_scene(scene_path("teapot"))
+    # the wide kernel's tables are opt-in (dead-end kernel, kept as the
+    # measured record — scene/loader.py wide_tables)
+    return load_scene(scene_path("teapot"), wide_tables=True)
 
 
 def _random_rays(n, seed):
@@ -112,7 +114,7 @@ def test_wide_engine_render_bitexact_vs_packet():
     practice on these meshes (if this ever flakes, compare with tolerance
     and investigate the tie)."""
     scene, settings = load_scene(scene_path("animal"), overrides={
-        "RES": [48, 48], "DEPTH": 4, "ITERATIONS": 4})
+        "RES": [48, 48], "DEPTH": 4, "ITERATIONS": 4}, wide_tables=True)
     img_w = render(scene, dataclasses.replace(settings, bvh_impl="wide"),
                    chunk=4)
     img_p = render(scene, dataclasses.replace(settings, bvh_impl="pallas"),

@@ -89,7 +89,9 @@ def main():
     rows = []
 
     def run(name, path, fn=bench_wavefront, overrides=None, chunk=30, **kw):
-        scene, settings = load_scene(path, overrides=overrides)
+        scene, settings = load_scene(
+            path, overrides=overrides,
+            wide_tables=(kw.get("bvh_impl") in ("wide", "wide_nosort")))
         if kw:
             settings = dataclasses.replace(settings, **kw)
         ms = fn(scene, settings, chunk=chunk)

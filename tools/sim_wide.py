@@ -136,7 +136,7 @@ def main():
 
     path = args.scene or scene_path("teapot")
     scene, settings = load_scene(
-        path, overrides={"RES": [args.res, args.res]})
+        path, overrides={"RES": [args.res, args.res]}, wide_tables=True)
     o, d, hit = make_bounce_rays(scene, settings)
     tb = analytic_bound(scene, settings, o, d)
 
