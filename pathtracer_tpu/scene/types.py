@@ -87,9 +87,15 @@ TREELETS_PER_FROW = 16  # 16 treelets x 8 f32 fields (bounds) = 128 lanes
 TREELETS_PER_IROW = 32  # 32 treelets x 4 i32 fields (row range) = 128 lanes
 TREELET_NONE = 0x3FFFFFF  # "no treelet" id sentinel (reduction-safe int32)
 MAX_TRE_ROWS = 16         # rows per treelet bound (static stream unroll)
+CHUNK_GATE_ROWS = 4       # tri rows per chunk-gate AABB (treelet_chunk):
+#                           the stream kernel slab-tests a chunk's union box
+#                           against every lane's CURRENT best before running
+#                           its 4x6 triangle tests — a skipped chunk cannot
+#                           contain an updating hit (any ray-tri hit inside
+#                           the box has ray-t inside the box's slab interval)
 
 
-def pack_treelet_tables(nodes: dict, max_rows: int = None):
+def pack_treelet_tables(nodes: dict, tris: dict = None, max_rows: int = None):
     """Treelet tables for the binned intersector (ops/binned.py).
 
     A TREELET is a leaf of the (fat-leaf) BVH: a contiguous, row-aligned
@@ -105,6 +111,12 @@ def pack_treelet_tables(nodes: dict, max_rows: int = None):
           (min_x, min_y, min_z, max_x, max_y, max_z, pad, pad)
       treelet_i [ceil(T/32), 128] i32: 4 fields
           (row_first, n_rows, pad, pad)   — rows into tris_packed
+      treelet_chunk [T_pad8, 128] f32 (when `tris` given): row g holds the
+          per-CHUNK_GATE_ROWS union AABBs of treelet g's tri rows — chunk c
+          (relative rows [4c, 4c+4)) at lanes [c*8 .. c*8+5] as
+          (min_x,min_y,min_z,max_x,max_y,max_z); empty/past-end chunks are
+          inverted boxes (slab always fails). Static lane extracts per
+          unrolled chunk — no dynamic rolls.
     Padding treelets carry inverted boxes (min=+inf) and n_rows=0: never
     wanted, harmless if streamed.
     """
@@ -145,7 +157,55 @@ def pack_treelet_tables(nodes: dict, max_rows: int = None):
     sup = np.zeros((n_rows_f, 128), np.float32)
     sup[:, 0:3] = grp[:, :, 0:3].min(axis=1)
     sup[:, 3:6] = grp[:, :, 3:6].max(axis=1)
-    return jnp.asarray(packed_f), jnp.asarray(packed_i), jnp.asarray(sup)
+
+    if tris is None:
+        chunk = np.zeros((8, 128), np.float32)
+        chunk[:, 0::8] = np.inf
+        chunk[:, 1::8] = np.inf
+        chunk[:, 2::8] = np.inf
+        chunk[:, 3::8] = -np.inf
+        chunk[:, 4::8] = -np.inf
+        chunk[:, 5::8] = -np.inf
+        return (jnp.asarray(packed_f), jnp.asarray(packed_i),
+                jnp.asarray(sup), jnp.asarray(chunk))
+
+    n_chunks = -(-max_rows // CHUNK_GATE_ROWS)
+    assert n_chunks * 8 <= 128, (
+        "treelet rows bound too large for one chunk-gate row per treelet")
+    # per-TRI-ROW AABBs over the reordered triangle array (a row's union is
+    # exactly what the stream kernel tests for that row; zero-padding tris
+    # beyond nt are degenerate -> excluded)
+    nt = tris["v0"].shape[0]
+    rows_t = -(-nt // TRIS_PER_ROW)
+    vmin = np.minimum(np.minimum(tris["v0"], tris["v1"]), tris["v2"])
+    vmax = np.maximum(np.maximum(tris["v0"], tris["v1"]), tris["v2"])
+    pmin = np.full((rows_t * TRIS_PER_ROW, 3), np.inf, np.float32)
+    pmax = np.full((rows_t * TRIS_PER_ROW, 3), -np.inf, np.float32)
+    pmin[:nt] = vmin
+    pmax[:nt] = vmax
+    row_min = pmin.reshape(rows_t, TRIS_PER_ROW, 3).min(axis=1)
+    row_max = pmax.reshape(rows_t, TRIS_PER_ROW, 3).max(axis=1)
+
+    t_pad = -(-max(T, 1) // 8) * 8
+    chunk = np.zeros((t_pad, 128), np.float32)
+    chunk[:, 0::8] = np.inf
+    chunk[:, 1::8] = np.inf
+    chunk[:, 2::8] = np.inf
+    chunk[:, 3::8] = -np.inf
+    chunk[:, 4::8] = -np.inf
+    chunk[:, 5::8] = -np.inf
+    row0 = first // TRIS_PER_ROW
+    nrows = -(-count // TRIS_PER_ROW)
+    for g in range(T):
+        for c in range(n_chunks):
+            r0 = int(row0[g]) + c * CHUNK_GATE_ROWS
+            r1 = min(int(row0[g]) + int(nrows[g]), r0 + CHUNK_GATE_ROWS)
+            if r0 >= r1:
+                break
+            chunk[g, c * 8:c * 8 + 3] = row_min[r0:r1].min(axis=0)
+            chunk[g, c * 8 + 3:c * 8 + 6] = row_max[r0:r1].max(axis=0)
+    return (jnp.asarray(packed_f), jnp.asarray(packed_i), jnp.asarray(sup),
+            jnp.asarray(chunk))
 
 
 WIDE_NODES_PER_BLOCK = 16  # wide nodes per (8,128) table block: node j's
@@ -412,6 +472,7 @@ class SceneArrays(NamedTuple):
     treelet_f: jnp.ndarray     # [ceil(T/16), 128] f32 bounds
     treelet_i: jnp.ndarray     # [ceil(T/32), 128] i32 row ranges
     treelet_super: jnp.ndarray  # [ceil(T/16), 128] f32 per-row union bounds
+    treelet_chunk: jnp.ndarray  # [T_pad8, 128] f32 per-chunk gate AABBs
     # shape-only static side channel: treelet_rows.shape[0] is the scene's
     # rows-per-treelet bound (the stream kernel's static unroll length) —
     # scene-adaptive treelet sizing without threading a static through
@@ -479,17 +540,62 @@ class RenderSettings:
     # Images are IDENTICAL either way (RNG and estimators are keyed by pixel
     # id); tiling only changes which rays share a traversal-kernel block.
     tile: tuple | None = None
+    # Round-robin shard interleave (set by parallel/sharding wrappers to the
+    # shard count S): before the tile map, shard s's contiguous lane block
+    # is re-dealt over every-S-th GRANULE (~1k consecutive base lanes) of
+    # the image instead of one contiguous band. Spatially decorrelated
+    # shards equalize per-shard path work — measured on the 8-virtual-device
+    # mesh: contiguous bands were 1.18x max/mean bounce work on cornell and
+    # 1.65x on the open scene (parallel/sharding.shard_work_counts).
+    # Granules (not single lanes) keep intra-shard kernel blocks spatially
+    # coherent for the mesh intersectors. Images are IDENTICAL (RNG keyed
+    # by pixel id; lanes_to_image inverts the composed map).
+    shard_interleave: int | None = None
 
     def pixel_map(self):
         """lane -> pixel id function (identity when untiled)."""
         if self.tile is None:
-            return lambda lane: lane
-        from ..ops.camera import tile_pixel_map
-        return tile_pixel_map(self.width, self.height, *self.tile)
+            base = lambda lane: lane
+        else:
+            from ..ops.camera import tile_pixel_map
+            base = tile_pixel_map(self.width, self.height, *self.tile)
+        S = self.shard_interleave
+        if not S or S <= 1:
+            return base
+        n_local = self.pixel_count // S
+        # >=32 granules per shard for averaging, capped at ~1k lanes per
+        # granule for intra-shard block coherence
+        G = _granule(n_local, target=max(64, min(1024, n_local // 32)))
+
+        def m(lane):
+            l, s = lane % n_local, lane // n_local
+            q, r = l // G, l % G
+            return base((q * S + s) * G + r)
+
+        return m
 
     @property
     def pixel_count(self) -> int:
         return self.width * self.height
+
+
+def _granule(n_local: int, target: int = 1024) -> int:
+    """Largest divisor of n_local <= target: the shard-interleave granule.
+
+    ~1k consecutive base lanes per granule keeps kernel blocks spatially
+    coherent while giving each shard n_local/G spread granules to average
+    work over (800x800 / 8 shards -> G=1000, 80 granules per shard)."""
+    best = 1
+    d = 1
+    while d * d <= n_local:
+        if n_local % d == 0:
+            if d <= target:
+                best = max(best, d)
+            q = n_local // d
+            if q <= target:
+                best = max(best, q)
+        d += 1
+    return best
 
 
 def _pad4(m: np.ndarray) -> np.ndarray:
@@ -576,6 +682,14 @@ def make_scene_arrays(
         sup[:, 0:3] = np.inf
         sup[:, 3:6] = -np.inf
         treelet_super = jnp.asarray(sup)
+        chk = np.zeros((8, 128), np.float32)
+        chk[:, 0::8] = np.inf
+        chk[:, 1::8] = np.inf
+        chk[:, 2::8] = np.inf
+        chk[:, 3::8] = -np.inf
+        chk[:, 4::8] = -np.inf
+        chk[:, 5::8] = -np.inf
+        treelet_chunk = jnp.asarray(chk)
         # zero-row placeholder: distinguishable from real tables, so the
         # brute intersector can REJECT scenes loaded without brute_tables
         # instead of silently intersecting degenerate all-zero triangles
@@ -600,8 +714,8 @@ def make_scene_arrays(
                                              dtype=np.int32)
         packed_f, packed_i, packed_t, tri_attrs = pack_bvh_tables(
             bvh_nodes, tri_dict)
-        treelet_f, treelet_i, treelet_super = pack_treelet_tables(
-            bvh_nodes, max_rows=tre_rows)
+        treelet_f, treelet_i, treelet_super, treelet_chunk = (
+            pack_treelet_tables(bvh_nodes, tris=tri_dict, max_rows=tre_rows))
         if brute_tables:
             mxu_c, mxu_n = pack_tris_mxu(tri_dict)
         else:
@@ -621,7 +735,9 @@ def make_scene_arrays(
         wide_root = jnp.asarray([wide_root_idx], I32)
     else:
         # degenerate forest: one node, all children kind=0 => instant miss
-        nodes8_f = jnp.full((8, 128), jnp.nan, F32)
+        # (box content never read; zeros, NOT NaN — multihost device_put
+        # asserts replicated values equal across processes and NaN != NaN)
+        nodes8_f = jnp.zeros((8, 128), F32)
         nodes8_i = jnp.zeros((8, 128), I32)
         tris8 = jnp.zeros((8, 128), F32)
         wide_root = jnp.zeros((1,), I32)
@@ -641,6 +757,7 @@ def make_scene_arrays(
                        tris_packed=packed_t,
                        treelet_f=treelet_f, treelet_i=treelet_i,
                        treelet_super=treelet_super,
+                       treelet_chunk=treelet_chunk,
                        treelet_rows=jnp.zeros(
                            (tre_rows or MAX_TRE_ROWS,), I32),
                        tri_attrs=tri_attrs,
