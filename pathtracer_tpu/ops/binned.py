@@ -53,6 +53,22 @@ intersector; the reference's per-thread MIMD walk has no union waste to
 avoid, ours buys the same property with sorts the GPU would spend on
 COALESCED material sorting (pathtrace.cu:825-841).
 
+ROUND-4 ADDITIONS (each exact vs the packet walk, tests/test_binned.py):
+  - SLOT pipeline (`slots=K` / SLOTS): ONE K-want cull sweep, then K
+    sequential bound-tightened bin+stream rounds — the expansion
+    pipeline's amortized cull without its no-tightening flaw (wants behind
+    the tightened bound drop to NONE without streaming; future slots ride
+    the bin sorts; the slot-(K-1) anchor resumes the residual enumeration).
+  - MINORITY-WANT DEFERRAL (MIN_SUPPORT): stream visits wanted by < K
+    lanes of the block are skipped; their supporters carry an
+    `incomplete` flag through the sorts and the exact fallback recomputes
+    them from scratch under the tightened bound. Attacks the distinct-id
+    tail, where a visit costs the treelet's full row count against 2048
+    lanes to serve a handful.
+  - CHUNK GATE (CHUNK_GATE + scene.treelet_chunk): per-4-row union-AABB
+    slab gates inside the visit loop. MEASURED OFF both ungated variants
+    (see flag note) — kept as the recorded dead end.
+
 OPEN FRONTS (alien d4 = 266 ms vs the reference's 22; within-run ablation
 at the production p4/sr16/fat-treelet config on alien bounce rays:
 full 84.5 ms, no-fallback 67.1, i.e. cull+sorts+stream 67 + fallback 17):
@@ -89,8 +105,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.types import (MAX_TRE_ROWS, TREELET_NONE, TREELETS_PER_FROW,
-                           TREELETS_PER_IROW, TRI_STRIDE, TRIS_PER_ROW)
+from ..scene.types import (CHUNK_GATE_ROWS, MAX_TRE_ROWS, TREELET_NONE,
+                           TREELETS_PER_FROW, TREELETS_PER_IROW, TRI_STRIDE,
+                           TRIS_PER_ROW)
 from ..utils.vec import Vec3
 
 FLT_MAX = 3.402823466e38
@@ -114,6 +131,17 @@ EXPAND = None       # int K = multi-want expansion pipeline (one K-want cull
 #                     sweep + one K-fold expanded bin/stream round) instead
 #                     of `PASSES` sequential cull->bin->stream rounds.
 #                     None = off (pass-sequential production path).
+SLOTS = None        # int K = slot pipeline: ONE K-want cull sweep, then K
+#                     SEQUENTIAL bin+stream rounds over the slots with full
+#                     bound tightening between rounds (a want behind the
+#                     tightened bound is dropped to NONE without streaming).
+#                     Fixes the expansion pipeline's measured flaw — no
+#                     tightening between the K wants — while still
+#                     amortizing K cull sweeps into one (the slab tests
+#                     dominate the sweep; the per-slot insertion is ~7 ops).
+#                     vs passes=K: same streams minus the drops, 1 cull
+#                     instead of K, +2*(K-1-s) sort operands at round s
+#                     (future slots ride the permutation). None = off.
 FALLBACK = True     # diagnostic ablation flags (trace-time)
 FALLBACK_IMPL = "packet"  # "wide" = 8-wide per-packet-stack kernel
 #                         (ops/wide.py) — the residual lanes are already
@@ -149,10 +177,46 @@ STREAM_UV = False    # stream kernel stores (u, v, tri index) instead of
 #                      intersect A/B: uv 84.8 vs inline 89.0). Net loss;
 #                      kept as a measured ablation + the tri_attrs table
 #                      for any future in-kernel gather formulation.
+MIN_SUPPORT = 1     # minority-want deferral: a stream visit whose treelet
+#                     is wanted by fewer than MIN_SUPPORT lanes of the
+#                     block is SKIPPED and its supporters are marked
+#                     `incomplete`; incomplete lanes go to the exact
+#                     packet-walk fallback at the end REGARDLESS of their
+#                     enumeration state (the walk recomputes the true
+#                     closest hit under the tightened bound from scratch,
+#                     so skipped wants cannot be lost). Rationale: a visit
+#                     costs the treelet's FULL row count against all 2048
+#                     lanes whether 3 lanes want it or 1500 do — the
+#                     distinct-id tail of a block is almost all cost and
+#                     almost no service. 1 = off (every want served).
 STREAM_ROW_CHUNK = 4  # gate stream-visit rows in chunks of this many rows
 #                       (0 = ungated static unroll); mean treelet occupancy
 #                       is ~10.6/16 rows, so tail gating saves ~24% of the
 #                       visit MT work for ~3 scalar branches
+CHUNK_GATE = False  # vector chunk gate: slab-test each 4-row chunk's union
+#                     AABB (scene.treelet_chunk) against the SUPPORTING
+#                     lanes' rays (tid == g) with their CURRENT best as the
+#                     bound, and skip the chunk's 24 MT tests when no
+#                     supporting lane can update (a hit inside the box has
+#                     ray-t inside the slab interval, so t0 >= t_min for
+#                     all wanters proves the chunk holds no closer hit for
+#                     them). MEASURED OFF both ways (alien bounce rays,
+#                     within-run): all-lanes gate 101.1 vs ungated 88.4 ms
+#                     (one stray ray in 2048 forced nearly every chunk);
+#                     support-masked gate 96.0 vs 89.2 (a treelet's DFS
+#                     row-range chunk boxes overlap spatially, so even a
+#                     handful of wanting rays hits most of its 12 chunks —
+#                     skip rate too low for the ~40-op gate + scalar
+#                     branch). Support-masking changes the candidate set
+#                     (non-wanters lose BONUS candidates from other lanes'
+#                     visits) but not results: a lane's true closest hit
+#                     lies in a treelet it WANTS (leaf AABB entered closer
+#                     than its bound), and wanted treelets are always fully
+#                     streamed when enumerated — bonus hits only
+#                     pre-tightened the bound (exactness vs the packet walk
+#                     verified both gated and ungated, tests/test_binned).
+#                     Kept as the measured dead-end record; active only
+#                     when STREAM_ROW_CHUNK == CHUNK_GATE_ROWS.
 
 
 def _extract(row, group, stride: int):
@@ -319,11 +383,11 @@ def _cull_kernel(tre_f_ref, sup_f_ref,
 # Stream kernel: triangle rows of each block's binned treelets
 # ---------------------------------------------------------------------------
 
-def _stream_kernel(tre_i_ref, trisf_ref,
+def _stream_kernel(tre_i_ref, chunk_f_ref, trisf_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    bound_ref, id_ref,
-                   t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
-                   *, max_rows: int = None, uv_out: bool = False):
+                   t_ref, nx_ref, ny_ref, nz_ref, mat_ref, *out_extra,
+                   max_rows: int = None, uv_out: bool = False):
     """Stream tri rows of every DISTINCT treelet id present in the block;
     each lane keeps its own closest hit (initialized at its bound).
 
@@ -335,6 +399,9 @@ def _stream_kernel(tre_i_ref, trisf_ref,
     tid = id_ref[:]
     bound = bound_ref[:]
     shape = ox.shape
+    inv_x = 1.0 / dx       # chunk-gate slab reciprocals (loop-invariant)
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
 
     t_min0 = bound
     zero = jnp.zeros(shape, jnp.float32)
@@ -419,7 +486,11 @@ def _stream_kernel(tre_i_ref, trisf_ref,
     last_row = trisf_ref.shape[0] - 1
 
     def body(carry):
-        g, cc = carry
+        if MIN_SUPPORT > 1:
+            g, cc, inc = carry
+        else:
+            g, cc = carry
+            inc = None
         irow = tre_i_ref[pl.ds(g // TREELETS_PER_IROW, 1), :]
         iv = _extract(irow, g % TREELETS_PER_IROW, 4)
         row0, n_rows = iv[0, 0], iv[0, 1]
@@ -432,6 +503,11 @@ def _stream_kernel(tre_i_ref, trisf_ref,
         # skipping whole masked tail chunks trades a scalar branch for up
         # to CHUNK*TRIS_PER_ROW saved MT tests.
         chunkn = STREAM_ROW_CHUNK
+        gate = CHUNK_GATE and chunkn == CHUNK_GATE_ROWS
+        if gate:
+            # one 128-lane row holds ALL of treelet g's chunk boxes at
+            # static lane offsets (scene/types.py pack layout)
+            crow = chunk_f_ref[pl.ds(g, 1), :]
 
         def row_range(r0, r1, cc):
             for r in range(r0, r1):
@@ -442,22 +518,81 @@ def _stream_kernel(tre_i_ref, trisf_ref,
                     cc = tri_test(trow, j, in_row, row0 + r, cc)
             return cc
 
-        if not chunkn:
-            cc = row_range(0, max_rows, cc)
+        sup = tid == g           # supporting lanes (want this treelet)
+
+        def chunk_possible(c0, cc):
+            """True iff some SUPPORTING lane's ray enters chunk c0's union
+            box closer than its CURRENT best (cc[0]) — a miss proves the
+            chunk holds no closer hit for any lane that wants g (see
+            CHUNK_GATE flag note for why non-wanters may be skipped)."""
+            b = (c0 // CHUNK_GATE_ROWS) * 8
+            tnx = (crow[0, b + 0] - ox) * inv_x
+            tfx = (crow[0, b + 3] - ox) * inv_x
+            tny = (crow[0, b + 1] - oy) * inv_y
+            tfy = (crow[0, b + 4] - oy) * inv_y
+            tnz = (crow[0, b + 2] - oz) * inv_z
+            tfz = (crow[0, b + 5] - oz) * inv_z
+            t0 = jnp.maximum(jnp.maximum(jnp.minimum(tnx, tfx),
+                                         jnp.minimum(tny, tfy)),
+                             jnp.minimum(tnz, tfz))
+            t1 = jnp.minimum(jnp.minimum(jnp.maximum(tnx, tfx),
+                                         jnp.maximum(tny, tfy)),
+                             jnp.maximum(tnz, tfz))
+            can = jnp.logical_and(
+                sup, jnp.logical_and(
+                    t0 <= t1, jnp.logical_and(t1 > 0.0, t0 < cc[0])))
+            return jnp.sum(can.astype(jnp.int32)) > 0
+
+        def run_visit(cc):
+            if not chunkn:
+                cc = row_range(0, max_rows, cc)
+            elif gate:
+                for c0 in range(0, max_rows, chunkn):
+                    live_c = chunk_possible(c0, cc)
+                    if c0:
+                        live_c = jnp.logical_and(c0 < n_rows, live_c)
+                    cc = jax.lax.cond(
+                        live_c,
+                        lambda cc, c0=c0: row_range(
+                            c0, min(c0 + chunkn, max_rows), cc),
+                        lambda cc: cc, cc)
+            else:
+                cc = row_range(0, chunkn, cc)  # every treelet has >= 1 row
+                for c0 in range(chunkn, max_rows, chunkn):
+                    cc = jax.lax.cond(
+                        c0 < n_rows,
+                        lambda cc, c0=c0: row_range(
+                            c0, min(c0 + chunkn, max_rows), cc),
+                        lambda cc: cc, cc)
+            return cc
+
+        if MIN_SUPPORT > 1:
+            # minority-want deferral: a visit with too few wanting lanes
+            # is all cost and no service — skip it and mark the wanters
+            # incomplete (the exact fallback recomputes them from scratch,
+            # so no hit can be lost; see MIN_SUPPORT flag note)
+            cnt = jnp.sum(sup.astype(jnp.int32))
+            cc, inc = jax.lax.cond(
+                cnt >= MIN_SUPPORT,
+                lambda cc, inc: (run_visit(cc), inc),
+                lambda cc, inc: (cc, jnp.where(sup, 1, inc)),
+                cc, inc)
         else:
-            cc = row_range(0, chunkn, cc)   # every treelet has >= 1 row
-            for c0 in range(chunkn, max_rows, chunkn):
-                cc = jax.lax.cond(
-                    c0 < n_rows,
-                    lambda cc, c0=c0: row_range(
-                        c0, min(c0 + chunkn, max_rows), cc),
-                    lambda cc: cc, cc)
+            cc = run_visit(cc)
         g_next = jnp.min(jnp.where(tid > g, tid, TREELET_NONE))
+        if MIN_SUPPORT > 1:
+            return g_next, cc, inc
         return g_next, cc
 
     init = (t_min0, zero, zero, zero, mat0)
-    _, (t_min, nx, ny, nz, mat) = jax.lax.while_loop(
-        cond, body, (first_id, init))
+    if MIN_SUPPORT > 1:
+        inc0 = jnp.zeros(shape, jnp.int32)
+        _, (t_min, nx, ny, nz, mat), inc_out = jax.lax.while_loop(
+            cond, body, (first_id, init, inc0))
+        out_extra[0][:] = inc_out    # 6th output exists iff deferring
+    else:
+        _, (t_min, nx, ny, nz, mat) = jax.lax.while_loop(
+            cond, body, (first_id, init))
 
     missed = t_min >= bound
     if uv_out:
@@ -522,12 +657,13 @@ def _pad_to(n: int, m: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "passes", "fallback_impl",
-                                    "expand"))
+                                    "expand", "slots"))
 def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
                           active=None, t_bound=None,
                           interpret: bool = False, passes: int | None = None,
                           fallback_impl: str | None = None,
-                          expand: int | None = None):
+                          expand: int | None = None,
+                          slots: int | None = None):
     """Binned-treelet mesh intersection over the whole ray pool.
 
     Covers ALL meshes in one pass (treelets span every mesh's leaves);
@@ -545,11 +681,21 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     tests them, and the K slots merge per ray in enumeration order (strict
     <, so ties resolve exactly as the sequential passes did). Lanes whose
     enumeration exceeds K finish in the exact fallback, same as `passes`.
+
+    `slots` = K > 0 runs the SLOT pipeline (see SLOTS flag): one K-want
+    cull sweep, then K sequential bound-tightened bin+stream rounds —
+    the expansion pipeline's amortized cull without its tightening flaw.
     """
     if expand is None:
         expand = EXPAND      # module flag, read at trace time for sweeps
     if expand is not None and expand < 1:
         expand = None
+    if slots is None:
+        slots = SLOTS
+    if slots is not None and slots < 1:
+        slots = None
+    if expand is not None:
+        slots = None         # mutually exclusive; expand wins if both set
     if passes is None:
         passes = PASSES      # read at trace time so sweeps can retune
     if passes is None:       # scene-adaptive: extra live-shrinking passes
@@ -642,18 +788,24 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     def stream(ox, oy, oz, dx, dy, dz, bound, tid):
         s_rows = ox.shape[0] // 128          # pool may be K-fold expanded
         r2 = lambda a: a.reshape(-1, 128)
+        n_out = 6 if MIN_SUPPORT > 1 else 5   # inc plane only when deferring
         out = pl.pallas_call(
             functools.partial(_stream_kernel, max_rows=tre_rows,
                               uv_out=STREAM_UV),
             grid=(s_rows // STREAM_ROWS,),
-            in_specs=[table_spec, table_spec] + [ray_spec_s] * 8,
-            out_specs=[ray_spec_s] * 5,
+            in_specs=[table_spec, table_spec, table_spec] + [ray_spec_s] * 8,
+            out_specs=[ray_spec_s] * n_out,
             out_shape=[jax.ShapeDtypeStruct((s_rows, 128), jnp.float32)] * 4
-            + [jax.ShapeDtypeStruct((s_rows, 128), jnp.int32)],
+            + [jax.ShapeDtypeStruct((s_rows, 128), jnp.int32)]
+            * (n_out - 4),
             interpret=interpret,
-        )(scene.treelet_i, scene.tris_packed, r2(ox), r2(oy), r2(oz),
+        )(scene.treelet_i, scene.treelet_chunk, scene.tris_packed,
+          r2(ox), r2(oy), r2(oz),
           r2(dx), r2(dy), r2(dz), r2(bound), r2(tid))
-        return tuple(a.reshape(-1) for a in out)
+        out = tuple(a.reshape(-1) for a in out)
+        if n_out == 5:
+            out = out + (jnp.zeros_like(out[4]),)
+        return out
 
     # initial bin: cluster candidates so the first cull skips dead blocks
     # (key = pid: candidates carry -1, dead lanes TREELET_NONE). best-so-far
@@ -674,7 +826,14 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     else:
         best = [jnp.full((n_pad,), -1.0), zero_f, zero_f, zero_f, none_i]
 
-    state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best)
+    # minority-want deferral (MIN_SUPPORT flag): lanes whose visit was
+    # skipped carry incomplete=1 and are recomputed from scratch by the
+    # exact fallback; rides every bin sort. Only meaningful with the
+    # fallback on (without it, skipped wants would simply be lost).
+    defer = MIN_SUPPORT > 1 and FALLBACK
+    inc = jnp.zeros((n_pad,), jnp.int32)
+
+    state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best, inc)
 
     if expand:
         # ---- multi-want expansion: one K-want cull, one K-fold round ----
@@ -694,10 +853,11 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
          pos) = _seg_sort(
             chunk, e_tid, rep(ox), rep(oy), rep(oz),
             rep(dx), rep(dy), rep(dz), rep(bound), pos)
-        t, o1, o2, o3, o4 = stream(e_ox, e_oy, e_oz, e_dx, e_dy, e_dz,
-                                   e_bound, e_tid)
+        t, o1, o2, o3, o4, o5 = stream(e_ox, e_oy, e_oz, e_dx, e_dy, e_dz,
+                                       e_bound, e_tid)
         # unsort pairs back to slot-major layout
-        pos, t, o1, o2, o3, o4 = _seg_sort(chunk, pos, t, o1, o2, o3, o4)
+        pos, t, o1, o2, o3, o4, o5 = _seg_sort(chunk, pos, t, o1, o2, o3,
+                                               o4, o5)
         # merge the K slots in enumeration order: strict < keeps the
         # earlier slot on exact ties — the same winner the sequential
         # passes produce (pass k streams want k with the tightened bound)
@@ -711,15 +871,67 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
             best = [jnp.where(better, n_, b_)
                     for n_, b_ in zip(new_s, best)]
         bound = jnp.where(best[0] > 0.0, best[0], bound)
+        if defer:
+            for s_ in range(K):
+                inc = jnp.maximum(inc, o5[s_ * n_pad:(s_ + 1) * n_pad])
         # residual enumeration state: lanes with fewer than K wants are
         # exhausted (slot K-1 is NONE, the sticky-dead marker); the rest
         # resume strictly after slot K-1 under the tightened bound
         pt0, pid = t0s[K - 1], ids[K - 1]
-        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best)
+        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best, inc)
+        passes = 0           # skip the sequential loop below
+
+    if slots:
+        # ---- slot pipeline: one K-want cull, K tightened rounds ----
+        assert not STREAM_UV, "slots uses the inline stream contract"
+        K = slots
+        live = (pid < TREELET_NONE).astype(jnp.int32)
+        ids, t0s = cull_k(K, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
+        ids, t0s = list(ids), list(t0s)
+        for s in range(K):
+            # drop wants already behind the tightened bound: their treelet
+            # cannot hold a closer hit (entry t >= bound), so skip the
+            # stream visit entirely — this is exactly the work the
+            # expansion pipeline wasted (NONE never wins the key sort and
+            # clusters with dead lanes at segment ends)
+            tid = jnp.where(t0s[s] < bound, ids[s], TREELET_NONE)
+            # future slots (incl. the slot-(K-1) residual anchor) must ride
+            # the permutation; at the last round only the anchor rides
+            rem_i = ids[s + 1:] if s < K - 1 else [ids[K - 1]]
+            rem_t = t0s[s + 1:] if s < K - 1 else [t0s[K - 1]]
+            extra = [inc] if defer else []
+            (tid, ox, oy, oz, dx, dy, dz, bound, lane,
+             *rest) = _seg_sort(
+                chunk, tid, ox, oy, oz, dx, dy, dz, bound, lane,
+                *best, *extra, *rem_i, *rem_t)
+            best = list(rest[:len(best)])
+            if defer:
+                inc = rest[len(best)]
+                rem = rest[len(best) + 1:]
+            else:
+                rem = rest[len(best):]
+            if s < K - 1:
+                nrem = K - 1 - s
+                ids[s + 1:] = rem[:nrem]
+                t0s[s + 1:] = rem[nrem:]
+            else:
+                ids[K - 1], t0s[K - 1] = rem[0], rem[1]
+            t, o1, o2, o3, o4, o5 = stream(ox, oy, oz, dx, dy, dz, bound,
+                                           tid)
+            hit = t > 0.0
+            new = [t, o1, o2, o3, o4]
+            best = [jnp.where(hit, n_, b_) for n_, b_ in zip(new, best)]
+            bound = jnp.where(hit, t, bound)
+            if defer:
+                inc = jnp.maximum(inc, o5)
+        # residual enumeration state: resume strictly after slot K-1 under
+        # the tightened bound; slot K-1 NONE = exhausted (sticky-dead)
+        pt0, pid = t0s[K - 1], ids[K - 1]
+        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best, inc)
         passes = 0           # skip the sequential loop below
 
     for _ in range(passes):
-        (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best) = state
+        (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best, inc) = state
         # finished lanes (no want at the previous cull) are dead from here on
         live = (pid < TREELET_NONE).astype(jnp.int32)
         if CULL_CHEAP:
@@ -728,23 +940,31 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         else:
             tid, tt0 = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
         # bin: sort by wanted id (NONE lanes cluster at segment ends)
+        extra = [inc] if defer else []
         (tid, ox, oy, oz, dx, dy, dz, bound, tt0, lane,
-         *best) = _seg_sort(
+         *rest) = _seg_sort(
             chunk, tid, ox, oy, oz, dx, dy, dz, bound, tt0, lane,
-            *best)
+            *best, *extra)
+        if defer:
+            best, inc = list(rest[:-1]), rest[-1]
+        else:
+            best = list(rest)
         if STREAM_OFF:
             t = jnp.full_like(bound, -1.0)
             o1 = o2 = o3 = jnp.zeros_like(bound)
             o4 = jnp.full_like(tid, -1)
         else:
-            t, o1, o2, o3, o4 = stream(ox, oy, oz, dx, dy, dz, bound, tid)
+            t, o1, o2, o3, o4, o5 = stream(ox, oy, oz, dx, dy, dz, bound,
+                                           tid)
+            if defer:
+                inc = jnp.maximum(inc, o5)
         hit = t > 0.0
         # stream outputs: inline (t, nx, ny, nz, mat); uv (t, u, v, -, tri)
         new = ([t, o1, o2, o4] if STREAM_UV else [t, o1, o2, o3, o4])
         best = [jnp.where(hit, n, b) for n, b in zip(new, best)]
         bound = jnp.where(hit, t, bound)
         pt0, pid = tt0, tid
-        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best)
+        state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best, inc)
 
     # one more cull AFTER the last stream: lanes whose next want vanished
     # under the tightened bound are done, so the exact-remaining set is far
@@ -752,7 +972,7 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     # set sent ~half the candidates to the fallback). The rare survivors are
     # finished exactly by the packet walk; they are clustered by the last bin
     # sort, so small blocks stay coherent and dead blocks exit at the root.
-    (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best) = state
+    (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best, inc) = state
     if STREAM_UV:
         # gather epilogue: ONE row-gather of tri_attrs by the winning tri
         # index rebuilds the normal (same interp formula on the same f32
@@ -779,6 +999,10 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         live = (pid < TREELET_NONE).astype(jnp.int32)
         tid_f, _ = cull(ox, oy, oz, dx, dy, dz, bound, pt0, pid, live)
         remaining = jnp.logical_and(live > 0, tid_f < TREELET_NONE)
+        if defer:
+            # deferred lanes are recomputed from scratch under the
+            # tightened bound — their skipped wants cannot be lost
+            remaining = jnp.logical_or(remaining, inc > 0)
         t, nrm, mat = _packet_fallback(scene, mesh_roots,
                                        Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                        remaining, bound, interpret,

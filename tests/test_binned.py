@@ -169,14 +169,15 @@ def test_binned_engine_render_uv_mode_statistics():
     assert (np.abs(b - p).max(axis=-1) < 1e-6).mean() > 0.98
 
 
-def test_binned_wide_fallback_contract(teapot):
+def test_binned_wide_fallback_contract():
     """fallback_impl="wide" (the 8-wide per-packet-stack finish) keeps the
     true-closest-hit contract: identical hit set / material / normal vs the
     packet-fallback pipeline; t within the wide kernel's ~1-ulp broadcast-MT
     envelope (tests/test_wide.py module docstring) on fallback lanes."""
     from pathtracer_tpu.ops.binned import mesh_intersect_binned
 
-    scene, settings = teapot
+    # the wide fallback needs the opt-in bvh8 tables (scene/loader.py)
+    scene, settings = load_scene(scene_path("teapot"), wide_tables=True)
     o, d, act = _random_rays(1024, 2)
     roots = tuple(scene.geoms.root_node[i]
                   for i, g in enumerate(settings.geom_types) if g == 2)
@@ -193,3 +194,96 @@ def test_binned_wide_fallback_contract(teapot):
     for c_p, c_w in zip(n_p, n_w):
         np.testing.assert_allclose(np.asarray(c_p)[a], np.asarray(c_w)[a],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_binned_chunk_gate_exact_vs_packet(teapot):
+    """CHUNK_GATE=True (support-masked per-chunk AABB gating, a measured-
+    off perf ablation) must keep the true-closest-hit contract: skipping
+    chunks no WANTING lane can hit closer than its current best never
+    changes any lane's winning (t, normal, material) — a lane's true
+    closest hit lies in a treelet it wants, and wanted treelets are fully
+    streamed when enumerated (bonus candidates only pre-tighten bounds)."""
+    import pathtracer_tpu.ops.binned as B
+    from pathtracer_tpu.ops.binned import mesh_intersect_binned
+    from pathtracer_tpu.ops.bvh_pallas import mesh_intersect_packet
+
+    scene, settings = teapot
+    o, d, act = _random_rays(2048, 7)
+    roots = tuple(scene.geoms.root_node[i]
+                  for i, g in enumerate(settings.geom_types) if g == 2)
+    old = B.CHUNK_GATE
+    try:
+        B.CHUNK_GATE = True
+        B.mesh_intersect_binned.clear_cache()
+        t_g, n_g, m_g = mesh_intersect_binned(scene, roots, o, d,
+                                              active=act, interpret=True)
+    finally:
+        B.CHUNK_GATE = old
+        B.mesh_intersect_binned.clear_cache()
+    t_p, n_p, m_p = mesh_intersect_packet(scene, roots[0], o, d,
+                                          active=act, interpret=True)
+    a = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(t_g)[a], np.asarray(t_p)[a])
+    np.testing.assert_array_equal(np.asarray(m_g)[a], np.asarray(m_p)[a])
+    for c_g, c_p in zip(n_g, n_p):
+        np.testing.assert_array_equal(np.asarray(c_g)[a],
+                                      np.asarray(c_p)[a])
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_binned_slots_exact_vs_packet(teapot, k):
+    """The slot pipeline (one K-want cull + K bound-tightened rounds) is
+    bit-exact vs the packet walk — same contract as the pass-sequential
+    production pipeline, for K below and above typical want counts."""
+    from pathtracer_tpu.ops.binned import mesh_intersect_binned
+    from pathtracer_tpu.ops.bvh_pallas import mesh_intersect_packet
+
+    scene, settings = teapot
+    o, d, act = _random_rays(2048, 11)
+    roots = tuple(scene.geoms.root_node[i]
+                  for i, g in enumerate(settings.geom_types) if g == 2)
+    t_s, n_s, m_s = mesh_intersect_binned(scene, roots, o, d, active=act,
+                                          interpret=True, slots=k)
+    t_p, n_p, m_p = mesh_intersect_packet(scene, roots[0], o, d,
+                                          active=act, interpret=True)
+    a = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(t_s)[a], np.asarray(t_p)[a])
+    np.testing.assert_array_equal(np.asarray(m_s)[a], np.asarray(m_p)[a])
+    for c_s, c_p in zip(n_s, n_p):
+        np.testing.assert_array_equal(np.asarray(c_s)[a],
+                                      np.asarray(c_p)[a])
+
+
+def test_binned_min_support_deferral_exact(teapot):
+    """Minority-want deferral (MIN_SUPPORT > 1): skipped visits mark their
+    supporters incomplete and the exact fallback recomputes them from
+    scratch, so results stay exactly the packet walk's true closest hit —
+    for the pass-sequential AND the slot pipeline."""
+    import pathtracer_tpu.ops.binned as B
+    from pathtracer_tpu.ops.binned import mesh_intersect_binned
+    from pathtracer_tpu.ops.bvh_pallas import mesh_intersect_packet
+
+    scene, settings = teapot
+    o, d, act = _random_rays(2048, 13)
+    roots = tuple(scene.geoms.root_node[i]
+                  for i, g in enumerate(settings.geom_types) if g == 2)
+    t_p, n_p, m_p = mesh_intersect_packet(scene, roots[0], o, d,
+                                          active=act, interpret=True)
+    a = np.asarray(act)
+    old = B.MIN_SUPPORT
+    try:
+        B.MIN_SUPPORT = 64
+        B.mesh_intersect_binned.clear_cache()
+        for kw in ({}, {"slots": 2}):
+            t_b, n_b, m_b = mesh_intersect_binned(
+                scene, roots, o, d, active=act, interpret=True, **kw)
+            np.testing.assert_array_equal(np.asarray(t_b)[a],
+                                          np.asarray(t_p)[a])
+            np.testing.assert_array_equal(np.asarray(m_b)[a],
+                                          np.asarray(m_p)[a])
+            for c_b, c_p in zip(n_b, n_p):
+                np.testing.assert_array_equal(np.asarray(c_b)[a],
+                                              np.asarray(c_p)[a])
+    finally:
+        B.MIN_SUPPORT = old
+        B.mesh_intersect_binned.clear_cache()

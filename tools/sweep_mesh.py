@@ -103,7 +103,10 @@ def main():
 
     from pathtracer_tpu.scene.fixtures import scene_path
     path = sys.argv[1] if len(sys.argv) > 1 else scene_path("teapot")
-    scene, settings = load_scene(path)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "all"
+    # bvh8 tables are opt-in now (scene/loader.py wide_tables); only the
+    # wide-kernel sweep rows need them
+    scene, settings = load_scene(path, wide_tables=(mode == "all"))
     o, d, hit = make_bounce_rays(scene, settings)
     tb = analytic_bound(scene, settings, o, d)
     jax.block_until_ready((o, d, tb))
@@ -161,7 +164,6 @@ def main():
         return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
                        o, d, hit, tb)
 
-    mode = sys.argv[2] if len(sys.argv) > 2 else "all"
     if mode == "passes":
         # passes sweep: extra cull->bin->stream rounds shrink the exact
         # fallback's residual set; live-gated blocks make marginal passes
@@ -249,6 +251,56 @@ def main():
         finally:
             B.FALLBACK = True
             B.mesh_intersect_binned.clear_cache()
+        return
+
+    if mode == "slots":
+        # within-run A/B of the slot pipeline (one K-want cull + K
+        # tightened rounds) vs the pass-sequential production config
+        from pathtracer_tpu.ops.binned import mesh_intersect_binned
+
+        def run_slots(k):
+            f = jax.jit(lambda sc, rts, o, d, a, tb: mesh_intersect_binned(
+                sc, rts, o, d, active=a, t_bound=tb, slots=k))
+            return time_fn(lambda o, *a: f(scene, mesh_roots, o, *a),
+                           o, d, hit, tb)
+
+        run_binned(None)     # warmup (first-in-process rows are inflated)
+        for rep in range(2):
+            print(f"sequential prod rep{rep}: {run_binned(None):8.1f} ms",
+                  flush=True)
+            for k in (3, 4, 6):
+                print(f"slots K={k} rep{rep}:      {run_slots(k):8.1f} ms",
+                      flush=True)
+        return
+
+    if mode == "support":
+        # within-run sweep of minority-want deferral (MIN_SUPPORT): skip
+        # stream visits few lanes want; deferred lanes go to the exact
+        # fallback. 1 = off (production baseline).
+        import pathtracer_tpu.ops.binned as B
+
+        run_binned(None)     # warmup
+        for rep in range(2):
+            for ms in (1, 16, 64, 256):
+                B.MIN_SUPPORT = ms
+                B.mesh_intersect_binned.clear_cache()
+                print(f"min_support={ms:3d} rep{rep}:  "
+                      f"{run_binned(None):8.1f} ms", flush=True)
+        B.MIN_SUPPORT = 1
+        return
+
+    if mode == "gate":
+        # within-run interleaved A/B of the vector chunk gate (treelet_chunk
+        # AABB slab test per 4-row chunk vs the scalar n_rows-only gate)
+        import pathtracer_tpu.ops.binned as B
+
+        for rep in range(2):
+            for flag in (True, False):
+                B.CHUNK_GATE = flag
+                B.mesh_intersect_binned.clear_cache()
+                print(f"gate={flag!s:5s} rep{rep}:      "
+                      f"{run_binned(None):8.1f} ms", flush=True)
+        B.CHUNK_GATE = True
         return
 
     if mode == "defer":
@@ -362,6 +414,9 @@ def main():
 
         def reset():
             B.mesh_intersect_binned.clear_cache()
+        # warmup: first-in-process timings are inflated on the remote device
+        run_binned(None)
+        print(f"full (warmup ref): {run_binned(None):8.1f} ms", flush=True)
         B.FALLBACK, B.CULL_CHEAP, B.STREAM_OFF = False, True, True
         reset()
         print(f"sorts only:        {run_binned(None):8.1f} ms", flush=True)
@@ -394,7 +449,7 @@ def main():
         orig = L.build_wide_bvh
         L.build_wide_bvh = lambda tris: orig(tris, max_leaf=8)
         try:
-            scene8, _ = L.load_scene(path)
+            scene8, _ = L.load_scene(path, wide_tables=True)
         finally:
             L.build_wide_bvh = orig
         f = jax.jit(lambda sc, o, d, a, tb: mesh_intersect_wide(
