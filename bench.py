@@ -58,6 +58,18 @@ def main():
     extra = {
         "cornell_mrays_s": round(settings.pixel_count / cornell_ms / 1e3, 1),
     }
+    try:
+        # COALESCED material sort (reference: 42.95 ms at the same config —
+        # BASELINE.md "Material sort"); keeps the sorted-mode claim in a
+        # machine-readable per-round artifact
+        import dataclasses
+        scene, settings = load_scene(scene_path("cornell"))
+        s_sorted = dataclasses.replace(settings, sort_materials=True)
+        ms = bench(scene, s_sorted, chunk=10, warmup=1, reps=2)
+        extra["cornell_sorted_ms_per_frame"] = round(ms, 3)
+        extra["cornell_sorted_vs_ref"] = round(ms / 42.95, 3)
+    except Exception as e:
+        extra["cornell_sorted_error"] = f"{type(e).__name__}: {e}"[:120]
     for name, ref_ms in (("teapot", TEAPOT_REF_MS), ("animal", ALIEN_REF_MS)):
         try:
             scene, settings = load_scene(scene_path(name))

@@ -171,6 +171,23 @@ def test_sorted_mode_bitexact_vs_masked(cornell_small):
     np.testing.assert_allclose(img_s, img_m, rtol=1e-5, atol=1e-5)
 
 
+def test_sorted_mode_bitexact_nondivisible_pool(cornell_path):
+    """Sorted mode at a pool NOT divisible by 128 (50x50 = 2500 lanes):
+    exercises the full-pool multisort fallback and the deferred unsort on
+    that path (wavefront.py bounce_step_sorted seg_ok=False +
+    render_iteration's unsorter pick), which the divisible-pool tests never
+    touch. Bit-equality vs masked mode pins both the sort and the unsort."""
+    from pathtracer_tpu import load_scene
+
+    scene, settings = load_scene(cornell_path, overrides={
+        "RES": [50, 50], "DEPTH": 4, "ITERATIONS": 4})
+    assert settings.pixel_count % 128 != 0
+    s_sorted = _mode_settings(settings, sort_materials=True)
+    img_s = np.asarray(render(scene, s_sorted, iterations=4, chunk=2))
+    img_m = np.asarray(render(scene, settings, iterations=4, chunk=2))
+    np.testing.assert_allclose(img_s, img_m, rtol=1e-5, atol=1e-5)
+
+
 def test_persistent_resume_matches_oneshot(cornell_small):
     """Chunked persistent rendering (state carried across chunks) must equal
     a single chunk to the same spp."""
