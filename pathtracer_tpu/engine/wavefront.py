@@ -336,17 +336,28 @@ def render_iteration(scene: SceneArrays, settings: RenderSettings,
 
 
 def ray_survival(scene: SceneArrays, settings: RenderSettings,
-                 iteration: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
+                 iteration: jnp.ndarray, seed: int = 0,
+                 n: int | None = None, pixel_offset=0,
+                 key_salt=None) -> jnp.ndarray:
     """Live-ray count per bounce depth for one iteration — the
     PRINT_RAY_COUNT instrumentation (pathtrace.cu:42,746-750,877-881) that
     produced the reference's ray-survival table (README.md:112-116).
 
+    `n`/`pixel_offset`/`key_salt` scope the count to a shard-local pixel
+    block (parallel/sharding.shard_work_counts uses this as the per-shard
+    load-balance probe).
+
     Returns [trace_depth + 1] i32: counts BEFORE each bounce (index 0 =
     primary rays) and after the last.
     """
-    irng = rng.IterationRng(settings.fast_rng, seed, iteration)
-    state = generate_paths(scene, settings, irng)
-    image = Vec3.zeros((settings.pixel_count,))
+    if n is None:
+        n = settings.pixel_count
+    irng = rng.IterationRng(settings.fast_rng, seed, iteration,
+                            pixel_offset=pixel_offset, key_salt=key_salt,
+                            pixel_map=settings.pixel_map())
+    state = generate_paths(scene, settings, irng, n=n,
+                           pixel_offset=pixel_offset)
+    image = Vec3.zeros((n,))
 
     def body(carry, depth):
         state, image = carry
@@ -420,7 +431,7 @@ def lanes_to_image(avg: Vec3, settings: RenderSettings):
     import numpy as np
 
     arr = np.asarray(avg.to_array())
-    if settings.tile is None:
+    if settings.tile is None and not settings.shard_interleave:
         return arr.reshape(settings.height, settings.width, 3)
     pm = np.asarray(settings.pixel_map()(
         np.arange(settings.pixel_count, dtype=np.int64)))

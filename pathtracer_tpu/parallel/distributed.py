@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..scene.types import RenderSettings, SceneArrays
 from ..utils.vec import Vec3
-from .sharding import RAY_AXIS, render_chunk_sharded, replicate
+from .sharding import (RAY_AXIS, _interleaved, render_chunk_sharded,
+                       replicate)
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -85,7 +86,10 @@ def fetch_image(accum: Vec3, settings: RenderSettings,
     parts = [np.asarray(multihost_utils.process_allgather(c, tiled=True))
              for c in accum]
     avg = Vec3(*(jnp.asarray(p) for p in parts)) * (1.0 / float(iterations))
-    return lanes_to_image(avg, settings)
+    # lane->pixel unscramble must match the render-time shard interleave
+    # (render_chunk_sharded applies it internally, keyed on the mesh size)
+    n_shards = len(accum.x.sharding.device_set)
+    return lanes_to_image(avg, _interleaved(settings, n_shards))
 
 
 def render_distributed(scene: SceneArrays, settings: RenderSettings,

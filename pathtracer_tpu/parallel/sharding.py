@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.wavefront import render_iteration, zero_accum
+from ..engine.wavefront import ray_survival, render_iteration, zero_accum
 from ..scene.types import RenderSettings, SceneArrays
 from ..utils.vec import Vec3
 
@@ -52,6 +52,16 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+
+def _interleaved(settings: RenderSettings, n_shards: int) -> RenderSettings:
+    """Settings with the round-robin shard interleave applied (see
+    RenderSettings.shard_interleave): every sharded entry point routes
+    through this so lane semantics agree across render / fit / counts."""
+    import dataclasses
+    if n_shards <= 1:
+        return dataclasses.replace(settings, shard_interleave=None)
+    return dataclasses.replace(settings, shard_interleave=n_shards)
+
 def render_chunk_sharded(scene: SceneArrays, settings: RenderSettings,
                          mesh: Mesh, accum: Vec3,
                          start_iteration: jnp.ndarray, n_iters: int,
@@ -66,6 +76,7 @@ def render_chunk_sharded(scene: SceneArrays, settings: RenderSettings,
     assert n_total % n_shards == 0, (
         f"pixel count {n_total} not divisible by {n_shards} shards")
     n_local = n_total // n_shards
+    settings = _interleaved(settings, n_shards)
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(RAY_AXIS)),
@@ -96,6 +107,7 @@ def render_sharded(scene: SceneArrays, settings: RenderSettings,
     if mesh is None:
         mesh = make_ray_mesh()
     n_total = settings.iterations if iterations is None else iterations
+    settings = _interleaved(settings, mesh.shape[RAY_AXIS])
     scene = replicate(scene, mesh)
     accum = shard_accum(zero_accum(settings), mesh)
     done = 0
@@ -130,6 +142,7 @@ def render_persistent_sharded(scene: SceneArrays, settings: RenderSettings,
     n_total = settings.pixel_count
     assert n_total % n_shards == 0
     n_local = n_total // n_shards
+    settings = _interleaved(settings, n_shards)
     stride = pixel_stride(n_local)
 
     scene_r = replicate(scene, mesh)
@@ -195,6 +208,50 @@ def scaling_efficiency(scene: SceneArrays, settings: RenderSettings,
     return results
 
 
+def shard_work_counts(scene: SceneArrays, settings: RenderSettings,
+                      mesh: Mesh, iterations: int = 4,
+                      seed: int = 0, interleave: bool = True) -> np.ndarray:
+    """Per-shard path-tracing WORK (live lane-bounces summed over the bounce
+    loop and `iterations` samples) on the given mesh.
+
+    Why counts, not wall time: the 85% 2-host rays/s target
+    (SURVEY.md §2.6) is unmeasurable on shared-core virtual CPU devices and
+    on a 1-chip bench. But tracing is embarrassingly parallel with the scene
+    replicated — ZERO cross-chip traffic inside the bounce loop — so the
+    only *controllable* efficiency loss is per-shard work imbalance: a
+    shard whose pixels' paths die early idles while the worst shard
+    finishes. max/mean of these counts is therefore a machine-checkable
+    upper bound proxy for achievable scaling efficiency (the ICI psum and
+    image gather are measured separately by the multihost tests).
+
+    Returns [n_shards] int64 work counts.
+    """
+    n_shards = mesh.shape[RAY_AXIS]
+    n_local = settings.pixel_count // n_shards
+    assert settings.pixel_count % n_shards == 0
+    if interleave:
+        settings = _interleaved(settings, n_shards)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),),
+             out_specs=P(RAY_AXIS), check_vma=False)
+    def run(scene):
+        shard = jax.lax.axis_index(RAY_AXIS)
+        offset = shard * n_local
+
+        def body(tot, k):
+            counts = ray_survival(scene, settings, jnp.int32(1) + k,
+                                  seed=seed, n=n_local, pixel_offset=offset)
+            return tot + jnp.sum(counts[:-1]), None
+
+        tot, _ = jax.lax.scan(body, jnp.int32(0),
+                              jnp.arange(iterations, dtype=jnp.int32))
+        return tot[None]
+
+    scene_r = replicate(scene, mesh)
+    return np.asarray(run(scene_r)).astype(np.int64)
+
+
 def albedo_fit_step(scene: SceneArrays, settings: RenderSettings,
                     mesh: Mesh, target: Vec3, iteration: jnp.ndarray,
                     lr: float = 0.5, seed: int = 0):
@@ -208,6 +265,7 @@ def albedo_fit_step(scene: SceneArrays, settings: RenderSettings,
     """
     n_shards = mesh.shape[RAY_AXIS]
     n_local = settings.pixel_count // n_shards
+    settings = _interleaved(settings, n_shards)
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
