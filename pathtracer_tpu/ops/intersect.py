@@ -355,6 +355,16 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
     tree. Merge order is min-reduction, so results are identical to the
     interleaved order the reference uses (pathtrace.cu:441-522).
 
+    DIFFERENTIABILITY: every Pallas-backed mesh impl ("binned"/"pallas"/
+    "sorted"/"wide"/"wide_nosort"/"brute") returns its outputs under
+    lax.stop_gradient, so jax.grad never tries to differentiate a compiled
+    kernel (no AD rules on TPU pallas_call). This is EXACT for material
+    parameters — hit geometry (t, normal, winning material id) does not
+    depend on albedo/emittance/IOR, so its true derivative w.r.t. them is
+    zero — and it drops only the almost-everywhere-zero geometric term for
+    camera parameters (tests/test_grad.py camera a.e.-zero test). The "jnp"
+    walk keeps full end-to-end differentiability for research use.
+
     Returns (t [N] > 0 on hit else -1, normal Vec3, material_id [N]).
     """
     n = origin.x.shape[0]
@@ -406,6 +416,7 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
                 scene, mesh_roots, origin, direction,
                 active=active, t_bound=t_best,
                 interpret=jax.default_backend() != "tpu")
+        t, nrm, mat = jax.lax.stop_gradient((t, nrm, mat))
         merge(t, nrm, mat)
         t_out = jnp.where(any_hit, t_best, -1.0)
         return t_out, n_best, m_best
@@ -441,6 +452,8 @@ def intersect_scene(scene: SceneArrays, geom_types: Tuple[int, ...],
         else:
             t, nrm, mat = mesh_intersect(
                 scene, scene.geoms.root_node[i], origin, direction)
+        if bvh_impl != "jnp":
+            t, nrm, mat = jax.lax.stop_gradient((t, nrm, mat))
         merge(t, nrm, mat)
 
     t_out = jnp.where(any_hit, t_best, -1.0)

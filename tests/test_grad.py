@@ -244,3 +244,57 @@ def test_ior_gradient_finite_and_nonzero():
     # non-refractive materials must get exactly zero IOR gradient
     refr = np.asarray(scene.materials.has_refractive) > 0
     np.testing.assert_allclose(g[~refr], 0.0, atol=1e-8)
+
+
+@pytest.mark.parametrize("impl", ["jnp", "binned"])
+def test_mesh_albedo_grad_matches_finite_difference(impl):
+    """Mesh-scene differentiability (BASELINE config 5): the albedo gradient
+    flows through the bounce loop on a BVH scene, for both the fully
+    differentiable jnp walk and the production binned Pallas pipeline.
+
+    The binned path returns its hit geometry under stop_gradient
+    (ops/intersect.py): exact for material parameters, since (t, normal,
+    material id) do not depend on albedo — FD agreement proves it."""
+    from pathtracer_tpu import load_scene
+    from pathtracer_tpu.scene.fixtures import scene_path
+
+    scene, settings = load_scene(scene_path("teapot"), overrides={
+        "RES": [24, 24], "DEPTH": 3, "ITERATIONS": 1})
+    settings = dataclasses.replace(settings, bvh_impl=impl)
+    loss, p0 = _loss_fn(scene, settings, "albedo")
+
+    g = np.asarray(jax.grad(loss)(p0))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 1e-6, "albedo gradient identically zero"
+
+    eps = 1e-3
+    flat = g.ravel()
+    order = np.argsort(-np.abs(flat))[:2]
+    p0_np = np.asarray(p0, dtype=np.float64)
+    for i in order:
+        dp = np.zeros_like(p0_np).ravel()
+        dp[i] = eps
+        dp = dp.reshape(p0_np.shape)
+        lp = float(loss(jnp.asarray(p0_np + dp, jnp.float32)))
+        lm = float(loss(jnp.asarray(p0_np - dp, jnp.float32)))
+        fd = (lp - lm) / (2 * eps)
+        assert fd == pytest.approx(flat[i], rel=0.05, abs=1e-5), (
+            f"albedo[{i}] ({impl}): autodiff {flat[i]} vs FD {fd}")
+
+
+def test_mesh_albedo_grad_binned_matches_jnp():
+    """The binned pipeline's albedo gradient equals the jnp walk's: the two
+    intersectors return identical hit geometry (tests/test_binned.py), and
+    material gradients depend on geometry only through the primal values."""
+    from pathtracer_tpu import load_scene
+    from pathtracer_tpu.scene.fixtures import scene_path
+
+    scene, settings = load_scene(scene_path("teapot"), overrides={
+        "RES": [24, 24], "DEPTH": 3, "ITERATIONS": 1})
+    grads = {}
+    for impl in ("jnp", "binned"):
+        s = dataclasses.replace(settings, bvh_impl=impl)
+        loss, p0 = _loss_fn(scene, s, "albedo")
+        grads[impl] = np.asarray(jax.grad(loss)(p0))
+    np.testing.assert_allclose(grads["binned"], grads["jnp"],
+                               rtol=1e-5, atol=1e-7)
