@@ -158,8 +158,9 @@ def bounce_step_sorted(scene: SceneArrays, settings: RenderSettings,
     after the bounce loop (render_iteration): terminated lanes' colors are
     frozen (shade passes rb <= 0 lanes through unchanged), so deferring the
     image add to a single end-of-iteration unsort is exact and halves the
-    sort traffic vs the round-2 per-bounce unsort (engine-measured: 72.0 ->
-    see BENCH.md "+ material sort").
+    sort traffic vs the round-2 per-bounce unsort (engine-measured: 72.0 ms
+    round-2 -> 37.5 ms, which BEATS the reference's own COALESCED number,
+    42.95 ms — bench.py "cornell_sorted" row / BENCH.md "+ material sort").
     """
     t, normal, mat_id = intersect_scene(
         scene, settings.geom_types, state.origin, state.direction,

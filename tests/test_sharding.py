@@ -145,6 +145,15 @@ def test_interleaved_pixel_map_is_bijection(cornell_small):
     pm = np.asarray(s.pixel_map()(np.arange(s.pixel_count, dtype=np.int64)))
     assert pm.shape == (s.pixel_count,)
     assert np.array_equal(np.sort(pm), np.arange(s.pixel_count))
+    # composed with a tile-major base map (mesh scenes) it must stay one
+    from pathtracer_tpu import load_scene
+    from pathtracer_tpu.scene.fixtures import scene_path
+
+    _, ts = load_scene(scene_path("teapot"), overrides={"RES": [64, 64]})
+    assert ts.tile is not None
+    t = dataclasses.replace(ts, shard_interleave=8)
+    pmt = np.asarray(t.pixel_map()(np.arange(t.pixel_count, dtype=np.int64)))
+    assert np.array_equal(np.sort(pmt), np.arange(t.pixel_count))
 
 
 @pytest.mark.slow
