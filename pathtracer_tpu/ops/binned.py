@@ -69,6 +69,15 @@ ROUND-4 ADDITIONS (each exact vs the packet walk, tests/test_binned.py):
     slab gates inside the visit loop. MEASURED OFF both ungated variants
     (see flag note) — kept as the recorded dead end.
 
+ROUND-4 WARMED SPLIT (alien 640k bounce rays, production p4 config,
+within-run, first-call inflation consumed by a warmup): sorts 11.1 |
++cull 26.1 | +stream 70.3 | +fallback 87.9 ms — i.e. sorts 11, cull 15,
+stream 44, fallback 18. The slot pipeline (cull amortization) measured a
+wash and minority-want deferral measured off monotonically (flag notes),
+so the stream's distinct-id service and the packet-walk residual are the
+two standing costs; tools/diag_bins.py measures the id/support structure
+behind them.
+
 OPEN FRONTS (alien d4 = 266 ms vs the reference's 22; within-run ablation
 at the production p4/sr16/fat-treelet config on alien bounce rays:
 full 84.5 ms, no-fallback 67.1, i.e. cull+sorts+stream 67 + fallback 17):
@@ -119,14 +128,18 @@ STREAM_ROWS = 16   # rays per stream block: taller blocks amortize the
 SORT_CHUNK = 65536  # segmented-sort chunk (bins cluster within a chunk)
 PASSES = None       # cull->bin->stream rounds before the packet fallback.
 #                     None = scene-adaptive at trace time (tri count is a
-#                     static shape): 4 on big meshes, 2 on small ones.
-#                     TPU sweep on alien bounce rays (within-run): p2=199,
-#                     p3=139, p4=136, p6=144, p8=151 ms — the p2 fallback
-#                     cost ~124 ms of the 199 (p2 no-fallback: 75.5), and
-#                     two more live-shrinking passes buy it down to ~22.
-#                     Teapot's engine optimum was p2 (109.7 ms engine;
-#                     p4+sr16 measured 114.9), so small meshes keep 2.
-PASSES_BIG_TRIS = 24000  # tri count above which the adaptive default is 4
+#                     static shape): 3 on big meshes, 2 on small ones.
+#                     Round-3 TPU sweep on alien bounce rays (within-run):
+#                     p2=199, p3=139, p4=136, p6=144, p8=151 — p4 won when
+#                     the smeared fallback was expensive. With the round-4
+#                     pre-fallback compaction (FB_COMPACT) the optimum
+#                     moved: p3 82.0/82.7 vs p4 86.2/85.8 within-run —
+#                     pass 3's dispersed stream visits (748 visits for
+#                     17k live wants, tools/diag_bins.py) cost more than
+#                     the compacted residual they save. Teapot's engine
+#                     optimum was p2 (109.7 ms engine; p4+sr16 measured
+#                     114.9), so small meshes keep 2.
+PASSES_BIG_TRIS = 24000  # tri count above which the adaptive default is 3
 EXPAND = None       # int K = multi-want expansion pipeline (one K-want cull
 #                     sweep + one K-fold expanded bin/stream round) instead
 #                     of `PASSES` sequential cull->bin->stream rounds.
@@ -142,6 +155,23 @@ SLOTS = None        # int K = slot pipeline: ONE K-want cull sweep, then K
 #                     vs passes=K: same streams minus the drops, 1 cull
 #                     instead of K, +2*(K-1-s) sort operands at round s
 #                     (future slots ride the permutation). None = off.
+#                     TPU-MEASURED A WASH (alien bounce rays, within-run):
+#                     prod p4 88.6, slots K=3 92.5, K=4 88.2 — later cull
+#                     passes are already cheap (live-gated blocks; many
+#                     lanes exhaust their wants by pass 3), so amortizing
+#                     them saves less than the K-sweep + extra sort
+#                     operands cost. Kept as an exact, tested option.
+FB_COMPACT = True   # compact the fallback set: ONE more segmented sort
+#                     keyed (remaining ? 0 : 1) clusters the residual lanes
+#                     into a block-aligned prefix of every column before the
+#                     packet walk. Without it the residual is SMEARED over
+#                     nearly every packet block (the last bin sort ordered
+#                     lanes by want id, not by remaining-ness), so each
+#                     4096-lane fallback block pays a tree walk to serve a
+#                     handful of lanes — the measured reason minority-want
+#                     deferral lost (tools/diag_bins.py). Cost: one
+#                     13-operand sort (~1.8 ms); the walk then touches only
+#                     ceil(remaining / block) live blocks.
 FALLBACK = True     # diagnostic ablation flags (trace-time)
 FALLBACK_IMPL = "packet"  # "wide" = 8-wide per-packet-stack kernel
 #                         (ops/wide.py) — the residual lanes are already
@@ -189,6 +219,14 @@ MIN_SUPPORT = 1     # minority-want deferral: a stream visit whose treelet
 #                     lanes whether 3 lanes want it or 1500 do — the
 #                     distinct-id tail of a block is almost all cost and
 #                     almost no service. 1 = off (every want served).
+#                     TPU-MEASURED OFF, monotonically (alien bounce rays,
+#                     within-run, production p4 config): ms=1 88.7,
+#                     ms=16 104.8, ms=64 120.4, ms=256 157.9 — the packet
+#                     walk on the deferred lanes (scattered cold wants ->
+#                     big block unions, even bound-tightened) costs far
+#                     more than the visits it skips. Kept as the recorded
+#                     dead end; the stream tail is cheap SERVICE relative
+#                     to any per-lane recompute we have.
 STREAM_ROW_CHUNK = 4  # gate stream-visit rows in chunks of this many rows
 #                       (0 = ungated static unroll); mean treelet occupancy
 #                       is ~10.6/16 rows, so tail gating saves ~24% of the
@@ -657,13 +695,14 @@ def _pad_to(n: int, m: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "passes", "fallback_impl",
-                                    "expand", "slots"))
+                                    "expand", "slots", "debug_tids"))
 def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
                           active=None, t_bound=None,
                           interpret: bool = False, passes: int | None = None,
                           fallback_impl: str | None = None,
                           expand: int | None = None,
-                          slots: int | None = None):
+                          slots: int | None = None,
+                          debug_tids: bool = False):
     """Binned-treelet mesh intersection over the whole ray pool.
 
     Covers ALL meshes in one pass (treelets span every mesh's leaves);
@@ -685,6 +724,10 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     `slots` = K > 0 runs the SLOT pipeline (see SLOTS flag): one K-want
     cull sweep, then K sequential bound-tightened bin+stream rounds —
     the expansion pipeline's amortized cull without its tightening flaw.
+
+    `debug_tids=True` (pass-sequential path only) additionally returns the
+    post-bin-sort want-id array of every pass — the diagnostic feed for
+    tools/diag_bins.py (distinct-ids-per-stream-block / support stats).
     """
     if expand is None:
         expand = EXPAND      # module flag, read at trace time for sweeps
@@ -702,7 +745,7 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         # only pay for themselves when the fallback residual is expensive
         # (big meshes); tri count is a static shape, so this is trace-time
         n_tris = scene.tris_packed.shape[0] * TRIS_PER_ROW
-        passes = 4 if n_tris > PASSES_BIG_TRIS else 2
+        passes = 3 if n_tris > PASSES_BIG_TRIS else 2
     if fallback_impl is None:
         fallback_impl = FALLBACK_IMPL
     n = origin.x.shape[0]
@@ -930,6 +973,7 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
         state = (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best, inc)
         passes = 0           # skip the sequential loop below
 
+    dbg_tids = []
     for _ in range(passes):
         (ox, oy, oz, dx, dy, dz, bound, pt0, pid, lane, best, inc) = state
         # finished lanes (no want at the previous cull) are dead from here on
@@ -949,6 +993,8 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
             best, inc = list(rest[:-1]), rest[-1]
         else:
             best = list(rest)
+        if debug_tids:
+            dbg_tids.append(tid)
         if STREAM_OFF:
             t = jnp.full_like(bound, -1.0)
             o1 = o2 = o3 = jnp.zeros_like(bound)
@@ -1003,6 +1049,13 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
             # deferred lanes are recomputed from scratch under the
             # tightened bound — their skipped wants cannot be lost
             remaining = jnp.logical_or(remaining, inc > 0)
+        if FB_COMPACT:
+            key = jnp.where(remaining, 0, 1).astype(jnp.int32)
+            (key, ox, oy, oz, dx, dy, dz, bound, lane,
+             bt, bnx, bny, bnz, bmat) = _seg_sort(
+                chunk, key, ox, oy, oz, dx, dy, dz, bound, lane,
+                bt, bnx, bny, bnz, bmat)
+            remaining = key == 0
         t, nrm, mat = _packet_fallback(scene, mesh_roots,
                                        Vec3(ox, oy, oz), Vec3(dx, dy, dz),
                                        remaining, bound, interpret,
@@ -1018,7 +1071,10 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     lane, bt, bnx, bny, bnz, bmat = _seg_sort(
         chunk, lane, bt, bnx, bny, bnz, bmat)
     sl = lambda a: a[:n]
-    return sl(bt), Vec3(sl(bnx), sl(bny), sl(bnz)), sl(bmat)
+    out = sl(bt), Vec3(sl(bnx), sl(bny), sl(bnz)), sl(bmat)
+    if debug_tids:
+        return out + (dbg_tids,)
+    return out
 
 
 def _packet_fallback(scene, mesh_roots, origin, direction, active, bound,

@@ -287,3 +287,35 @@ def test_binned_min_support_deferral_exact(teapot):
     finally:
         B.MIN_SUPPORT = old
         B.mesh_intersect_binned.clear_cache()
+
+
+def test_binned_fb_compact_off_exact(teapot):
+    """FB_COMPACT=False (no pre-fallback compaction sort) must give the
+    same results: the compaction is a pure locality optimization — the
+    packet walk serves the same remaining set either way."""
+    import pathtracer_tpu.ops.binned as B
+    from pathtracer_tpu.ops.binned import mesh_intersect_binned
+
+    scene, settings = teapot
+    o, d, act = _random_rays(1024, 19)
+    roots = tuple(scene.geoms.root_node[i]
+                  for i, g in enumerate(settings.geom_types) if g == 2)
+    r_on = mesh_intersect_binned(scene, roots, o, d, active=act,
+                                 interpret=True)
+    old = B.FB_COMPACT
+    try:
+        B.FB_COMPACT = False
+        B.mesh_intersect_binned.clear_cache()
+        r_off = mesh_intersect_binned(scene, roots, o, d, active=act,
+                                      interpret=True)
+    finally:
+        B.FB_COMPACT = old
+        B.mesh_intersect_binned.clear_cache()
+    a = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(r_on[0])[a],
+                                  np.asarray(r_off[0])[a])
+    np.testing.assert_array_equal(np.asarray(r_on[2])[a],
+                                  np.asarray(r_off[2])[a])
+    for c_1, c_2 in zip(r_on[1], r_off[1]):
+        np.testing.assert_array_equal(np.asarray(c_1)[a],
+                                      np.asarray(c_2)[a])

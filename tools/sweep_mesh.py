@@ -273,6 +273,38 @@ def main():
                       flush=True)
         return
 
+    if mode == "tune":
+        # round-4 retune at the current code state: stream block height,
+        # pass count, cand-sort — each within-run vs the production config
+        import pathtracer_tpu.ops.binned as B
+
+        def reset():
+            B.mesh_intersect_binned.clear_cache()
+        run_binned(None)     # warmup
+        for rep in range(2):
+            print(f"prod p4 sr16 rep{rep}:    {run_binned(None):8.1f} ms",
+                  flush=True)
+            B.FB_COMPACT = False
+            reset()
+            print(f"no fb-compact rep{rep}:   {run_binned(None):8.1f} ms",
+                  flush=True)
+            B.FB_COMPACT = True
+            B.STREAM_ROWS = 32
+            reset()
+            print(f"sr32 rep{rep}:            {run_binned(None):8.1f} ms",
+                  flush=True)
+            B.STREAM_ROWS = 16
+            reset()
+            print(f"p3 rep{rep}:              {run_binned(3):8.1f} ms",
+                  flush=True)
+            B.CAND_SORT = False
+            reset()
+            print(f"no cand-sort rep{rep}:    {run_binned(None):8.1f} ms",
+                  flush=True)
+            B.CAND_SORT = True
+            reset()
+        return
+
     if mode == "support":
         # within-run sweep of minority-want deferral (MIN_SUPPORT): skip
         # stream visits few lanes want; deferred lanes go to the exact
