@@ -161,7 +161,7 @@ SLOTS = None        # int K = slot pipeline: ONE K-want cull sweep, then K
 #                     lanes exhaust their wants by pass 3), so amortizing
 #                     them saves less than the K-sweep + extra sort
 #                     operands cost. Kept as an exact, tested option.
-FB_COMPACT = True   # compact the fallback set: ONE more segmented sort
+FB_COMPACT = None   # compact the fallback set: ONE more segmented sort
 #                     keyed (remaining ? 0 : 1) clusters the residual lanes
 #                     into a block-aligned prefix of every column before the
 #                     packet walk. Without it the residual is SMEARED over
@@ -171,7 +171,10 @@ FB_COMPACT = True   # compact the fallback set: ONE more segmented sort
 #                     handful of lanes — the measured reason minority-want
 #                     deferral lost (tools/diag_bins.py). Cost: one
 #                     13-operand sort (~1.8 ms); the walk then touches only
-#                     ceil(remaining / block) live blocks.
+#                     ceil(remaining / block) live blocks. None = adaptive:
+#                     ON for big meshes (alien within-run 86.2/85.8 vs
+#                     88.8/88.7 ms), OFF for small ones (teapot residual is
+#                     tiny; pool A/B neutral 23.2 vs 23.1 — skip the sort).
 FALLBACK = True     # diagnostic ablation flags (trace-time)
 FALLBACK_IMPL = "packet"  # "wide" = 8-wide per-packet-stack kernel
 #                         (ops/wide.py) — the residual lanes are already
@@ -1049,7 +1052,11 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
             # deferred lanes are recomputed from scratch under the
             # tightened bound — their skipped wants cannot be lost
             remaining = jnp.logical_or(remaining, inc > 0)
-        if FB_COMPACT:
+        fb_compact = FB_COMPACT
+        if fb_compact is None:   # adaptive, like the pass count
+            n_tris = scene.tris_packed.shape[0] * TRIS_PER_ROW
+            fb_compact = n_tris > PASSES_BIG_TRIS
+        if fb_compact:
             key = jnp.where(remaining, 0, 1).astype(jnp.int32)
             (key, ox, oy, oz, dx, dy, dz, bound, lane,
              bt, bnx, bny, bnz, bmat) = _seg_sort(

@@ -300,10 +300,12 @@ def test_binned_fb_compact_off_exact(teapot):
     o, d, act = _random_rays(1024, 19)
     roots = tuple(scene.geoms.root_node[i]
                   for i, g in enumerate(settings.geom_types) if g == 2)
-    r_on = mesh_intersect_binned(scene, roots, o, d, active=act,
-                                 interpret=True)
     old = B.FB_COMPACT
     try:
+        B.FB_COMPACT = True       # teapot's adaptive default is OFF
+        B.mesh_intersect_binned.clear_cache()
+        r_on = mesh_intersect_binned(scene, roots, o, d, active=act,
+                                     interpret=True)
         B.FB_COMPACT = False
         B.mesh_intersect_binned.clear_cache()
         r_off = mesh_intersect_binned(scene, roots, o, d, active=act,

@@ -288,7 +288,7 @@ def main():
             reset()
             print(f"no fb-compact rep{rep}:   {run_binned(None):8.1f} ms",
                   flush=True)
-            B.FB_COMPACT = True
+            B.FB_COMPACT = None
             B.STREAM_ROWS = 32
             reset()
             print(f"sr32 rep{rep}:            {run_binned(None):8.1f} ms",
