@@ -34,8 +34,9 @@ order. Results are bit-exact equal to mesh_intersect_packet on active lanes
 (tests/test_binned.py), and full engine renders are bit-identical.
 
 Engine-measured (TPU v5e, ms/frame at the scenes' checked-in 800x800 d4):
-  teapot  packet 358 | sorted-packet 189 | binned 85   (round 2: 103)
-  alien   packet 1213 | sorted-packet 735 | binned 266 (round 2: 378)
+  teapot  packet 358 | sorted-packet 189 | binned 86   (round 2: 103)
+  alien   packet 1213 | sorted-packet 735 | binned 247 (round 2: 378;
+          persistent engine 222 — respawned lanes keep pools dense)
 Round-3 deltas, each TPU-measured within-run: STREAM_ROWS 8->16 (alien
 sr8 183 -> sr16 117), scene-adaptive passes (4 big / 2 small), deferred
 normal epilogue (100.0 vs 104.3), fat 288-tri treelets on big meshes
