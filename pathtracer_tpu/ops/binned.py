@@ -79,20 +79,29 @@ so the stream's distinct-id service and the packet-walk residual are the
 two standing costs; tools/diag_bins.py measures the id/support structure
 behind them.
 
-OPEN FRONTS (alien d4 = 266 ms vs the reference's 22; within-run ablation
-at the production p4/sr16/fat-treelet config on alien bounce rays:
-full 84.5 ms, no-fallback 67.1, i.e. cull+sorts+stream 67 + fallback 17):
-  1. Stream visits: column-rank binning still puts boundary-straddling ids
-     in every (16,128) block; contiguous-chunk bins re-measured SLOWER at
-     the current config too (132 vs ~100 — relayout of every sort
-     operand), so the win still needs rank alignment without relayout.
-     Fat 288-tri treelets (round 3) bought part of this by shrinking the
-     id universe 768 -> 272.
-  2. Fallback absorption: down to ~17 ms/bounce-pool (p4 + fat treelets;
-     was ~59 at p2/96-tri). BUILT AND MEASURED dead-ends: 2-slot want
-     capture (slot-1 ids scatter across blocks), wide-kernel residual
-     finish (123.2 vs 107.5), STREAM_UV gather contract (see flag note:
-     the XLA row-gather costs more than the interp it removes).
+OPEN FRONTS (alien d4 = 247 ms masked / 222 persistent vs the reference's
+22; round-4 bounce-pool state: ~82 ms = sorts 11 + cull 15 + stream ~38 +
+fallback ~18 at p3+compaction):
+  1. Stream visits remain the cost center, and round 4 PROVED the
+     structure (tools/diag_bins.py): 4607 visits vs ~350 contiguous-ideal;
+     distinct ids/block grow 15 -> 68 across passes; 47-70% of visits
+     serve <=16 lanes. This is genuine dispersion — cold treelets with a
+     handful of wanting lanes each — NOT sort-alignment noise, so rank
+     alignment cannot fix it (and per-column placement noise is inherent
+     to column sorts: any key scheme has ±sqrt-rank cross-column drift).
+     Serving cold wants cheaper than a full-treelet visit needs a
+     fundamentally different service: per-lane gathers (measured ~16 ms /
+     640k array), the packet walk (deferral measured off), chunk gates
+     (measured off — DFS chunk boxes overlap too much). The un-built idea
+     that survives: treelets SUBDIVIDED for cold service only (e.g. a
+     16-row mini-treelet table addressed by the same ids) so a cold visit
+     streams 1/3 the rows — unproven, and bounded by the support CDF to
+     at most ~2x on the stream share.
+  2. Fallback absorption: ~18 ms/bounce-pool; FB_COMPACT (round 4) made
+     the walk touch only the residual prefix (-3 ms); FB_ROWS re-swept,
+     32 stands. BUILT AND MEASURED dead-ends: 2-slot want capture,
+     wide-kernel residual finish (123.2 vs 107.5), STREAM_UV gather
+     contract, minority-want deferral, slot pipeline (flag notes).
   3. The 8-wide BVH with per-packet SMEM stacks (ops/wide.py: 128-ray
      packets, children on sublanes via (8,1)x(1,128) broadcasts) was BUILT
      AND MEASURED in round 3 and LOST DECISIVELY on alien bounce rays
@@ -193,7 +202,10 @@ FALLBACK_IMPL = "packet"  # "wide" = 8-wide per-packet-stack kernel
 CAND_SORT = True
 STREAM_OFF = False  # diagnostic: skip the stream kernel (WRONG results)
 CULL_CHEAP = False  # diagnostic: cull returns constant ids (WRONG results)
-FB_ROWS = 32        # packet-fallback block rows (teapot d4: 8->121.9, 32->104.3 ms)
+FB_ROWS = 32        # packet-fallback block rows (teapot d4: 8->121.9,
+#                     32->104.3 ms round-2; re-swept under the round-4
+#                     compacted residual: alien within-run 32->81.9/82.5,
+#                     16->86.0, 8->99.1 — 32 stands)
 DEFER_NORMAL = True  # normalize+flip the winning normal once per lane in
 #                      the kernel epilogue instead of per tri test
 #                      (bit-exact: same final ops on the same raw values)
