@@ -305,6 +305,22 @@ def main():
             reset()
         return
 
+    if mode == "fbrows":
+        # packet-fallback block height under the compacted residual: the
+        # live prefix is now a few dense blocks, so smaller blocks (less
+        # union per walk) may beat the round-3 FB_ROWS=32 verdict
+        import pathtracer_tpu.ops.binned as B
+
+        run_binned(None)     # warmup
+        for rep in range(2):
+            for fr in (32, 16, 8):
+                B.FB_ROWS = fr
+                B.mesh_intersect_binned.clear_cache()
+                print(f"fb_rows={fr:2d} rep{rep}:      "
+                      f"{run_binned(None):8.1f} ms", flush=True)
+        B.FB_ROWS = 32
+        return
+
     if mode == "support":
         # within-run sweep of minority-want deferral (MIN_SUPPORT): skip
         # stream visits few lanes want; deferred lanes go to the exact
