@@ -41,12 +41,18 @@ Three pool-processing modes map the reference's feature flags to TPU reality:
                          Per bounce: full-pool intersect, stable multi-operand
                          sort by material key (kernSetKeys + sort_by_key,
                          pathtrace.cu:592-599,825-841), then shade. Lanes
-                         carry their pixel index; accumulation becomes a
-                         scatter-add. On TPU all BSDF branches are computed
-                         and selected anyway (no warp divergence to fix), so
-                         this is strictly a parity/ablation mode — measured
-                         slower, exactly as the reference found (+22%,
-                         README.md:161-165).
+                         carry their pixel index through the bounce loop and
+                         ONE deferred segmented sort restores pixel order
+                         after it (bounce_step_sorted below). On TPU all BSDF
+                         branches are computed and selected anyway, so the
+                         mode costs more than masked (37.6 vs 5.3 ms/frame) —
+                         but at the reference's own COALESCED config it now
+                         BEATS the reference's 42.95 ms (BENCH.md, round 3-4:
+                         round-1 element-serial scatter-add 179.6 -> round-2
+                         per-bounce unsort 72.0 -> deferred unsort 37.6).
+                         Kept as the parity mode for the flag; masked remains
+                         the production default, as unsorted does in the
+                         reference (README.md:161-165).
 
 Accumulation contract matches the reference: the image is a running SUM over
 iterations; display/save divides by the iteration count (pathtrace.cu:88-90,
