@@ -95,12 +95,88 @@ CHUNK_GATE_ROWS = 4       # tri rows per chunk-gate AABB (treelet_chunk):
 #                           the box has ray-t inside the box's slab interval)
 
 
-def pack_treelet_tables(nodes: dict, tris: dict = None, max_rows: int = None):
+def repartition_treelet_rows(row_min, row_max, max_rows: int,
+                             c0: float = 20.0, lam: float = None):
+    """DP re-partition of the DFS-ordered triangle rows into treelets.
+
+    Treelets need not be BVH leaves — ANY partition of the row sequence into
+    contiguous ranges (each with a bounding box over its rows) is exact: the
+    binned pipeline's correctness only requires that every triangle is in
+    exactly one treelet whose box bounds it. SAH fat leaves stop early, so
+    leaf-treelets run ~63-72% occupancy (alien: 262 treelets of mean 30/48
+    rows), and every cold stream visit pays the padding. This DP picks the
+    cheapest boundaries directly: minimize
+        sum_g area(union(rows of g)) * (c0 + n_rows(g)),  n_rows(g) <= max_rows
+    i.e. expected want-rate (surface area) times visit cost (a fixed per-visit
+    overhead of ~c0 row-equivalents plus the streamed rows), PLUS a flat
+    per-treelet cost `lam` for the id-count terms the area term cannot see
+    (every treelet is slab-tested by the cull sweep in every live block, and
+    every distinct id present in a stream block is one visit regardless of
+    how few lanes want it — the measured dispersion tail). Without `lam` the
+    DP shatters the mesh into tiny tight boxes (total surface area drops
+    superlinearly when boxes shrink) and the cull + visit counts explode.
+    `lam=None` scales it to the mesh: mean-row-area x (c0 + max_rows) x 2 —
+    i.e. one extra treelet must pay for itself against roughly the cost of a
+    full half-occupied visit at mean row area. Rows are in BVH DFS order, so
+    consecutive rows are spatial neighbors and the unions stay tight; the DP
+    may merge across leaf/subtree boundaries when that is cheaper, and a
+    distant pair (e.g. a mesh boundary in a multi-mesh forest) is naturally
+    rejected by the area blow-up.
+
+    Returns (row0, nrows) int arrays, a partition of [0, n_rows_total).
+    """
+    n = row_min.shape[0]
+    w = min(max_rows, n)
+    # windowed unions: umin[k-1, i] = min over rows [i, i+k)
+    umin = np.full((w, n, 3), np.inf, np.float32)
+    umax = np.full((w, n, 3), -np.inf, np.float32)
+    umin[0], umax[0] = row_min, row_max
+    for k in range(1, w):
+        umin[k, :n - k] = np.minimum(umin[k - 1, :n - k], row_min[k:])
+        umax[k, :n - k] = np.maximum(umax[k - 1, :n - k], row_max[k:])
+    d = np.maximum(umax - umin, 0.0)
+    area = 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                  + d[..., 2] * d[..., 0])               # [w, n]
+    ks = np.arange(1, w + 1, dtype=np.float64)
+    if lam is None:
+        d1 = np.maximum(row_max - row_min, 0.0)
+        a1 = 2.0 * (d1[:, 0] * d1[:, 1] + d1[:, 1] * d1[:, 2]
+                    + d1[:, 2] * d1[:, 0])
+        lam = float(a1.mean()) * (c0 + max_rows) * 2.0
+    cost_w = area.astype(np.float64) * (c0 + ks)[:, None] + lam
+
+    best = np.full(n + 1, np.inf)
+    best[n] = 0.0
+    choice = np.zeros(n, np.int32)
+    for i in range(n - 1, -1, -1):
+        kmax = min(w, n - i)
+        cand = cost_w[:kmax, i] + best[i + 1:i + 1 + kmax]
+        k = int(np.argmin(cand))
+        best[i] = cand[k]
+        choice[i] = k + 1
+    row0, i = [], 0
+    while i < n:
+        row0.append(i)
+        i += int(choice[i])
+    row0 = np.asarray(row0, np.int64)
+    nrows = np.diff(np.append(row0, n)).astype(np.int64)
+    return row0, nrows
+
+
+REPARTITION = True  # default for pack_treelet_tables(repartition=None):
+#                     module-level so sweeps/A-Bs can flip it per load
+
+
+def pack_treelet_tables(nodes: dict, tris: dict = None, max_rows: int = None,
+                        repartition: bool = None):
     """Treelet tables for the binned intersector (ops/binned.py).
 
-    A TREELET is a leaf of the (fat-leaf) BVH: a contiguous, row-aligned
-    triangle range with an AABB. The binned intersector never walks the tree
-    — it enumerates treelets per ray by entry distance (cull kernel) and
+    A TREELET is a contiguous, row-aligned triangle range with an AABB —
+    by default re-partitioned from the DFS row order by
+    repartition_treelet_rows (fewer, fuller, tighter treelets than the
+    historical leaf-per-treelet choice; `repartition=False` restores that
+    for ablation). The binned intersector never walks the tree — it
+    enumerates treelets per ray by entry distance (cull kernel) and
     streams each treelet's triangle rows over rays sorted to share treelets
     (stream kernel). Treelets are emitted in tri_first order, which is DFS
     order = spatially coherent, so consecutive ids are neighbors and a
@@ -127,6 +203,39 @@ def pack_treelet_tables(nodes: dict, tris: dict = None, max_rows: int = None):
     first = nodes["tri_first"][leaf][order]
     count = nodes["tri_count"][leaf][order]
     assert (first % TRIS_PER_ROW == 0).all()
+    if repartition is None:
+        repartition = REPARTITION
+    if max_rows is None:
+        max_rows = MAX_TRE_ROWS
+
+    # per-TRI-ROW AABBs over the reordered triangle array (a row's union is
+    # exactly what the stream kernel tests for that row; zero-padding tris
+    # beyond nt are degenerate -> excluded)
+    row_min = row_max = None
+    if tris is not None:
+        nt = tris["v0"].shape[0]
+        rows_t = -(-nt // TRIS_PER_ROW)
+        vmin = np.minimum(np.minimum(tris["v0"], tris["v1"]), tris["v2"])
+        vmax = np.maximum(np.maximum(tris["v0"], tris["v1"]), tris["v2"])
+        pmin = np.full((rows_t * TRIS_PER_ROW, 3), np.inf, np.float32)
+        pmax = np.full((rows_t * TRIS_PER_ROW, 3), -np.inf, np.float32)
+        pmin[:nt] = vmin
+        pmax[:nt] = vmax
+        row_min = pmin.reshape(rows_t, TRIS_PER_ROW, 3).min(axis=1)
+        row_max = pmax.reshape(rows_t, TRIS_PER_ROW, 3).max(axis=1)
+
+    if tris is not None and repartition and row_min.shape[0] > 1:
+        t_row0, t_nrows = repartition_treelet_rows(row_min, row_max,
+                                                   max_rows)
+        first = t_row0 * TRIS_PER_ROW
+        count = t_nrows * TRIS_PER_ROW
+        # treelet boxes = exact unions of their rows' AABBs
+        lmin = np.stack([row_min[r0:r0 + k].min(axis=0)
+                         for r0, k in zip(t_row0, t_nrows)]).astype(
+            np.float32)
+        lmax = np.stack([row_max[r0:r0 + k].max(axis=0)
+                         for r0, k in zip(t_row0, t_nrows)]).astype(
+            np.float32)
     T = first.shape[0]
 
     tf = -(-T // TREELETS_PER_FROW) * TREELETS_PER_FROW
@@ -141,8 +250,6 @@ def pack_treelet_tables(nodes: dict, tris: dict = None, max_rows: int = None):
     i = np.zeros((ti, 4), np.int32)
     i[:T, 0] = first // TRIS_PER_ROW
     i[:T, 1] = -(-count // TRIS_PER_ROW)
-    if max_rows is None:
-        max_rows = MAX_TRE_ROWS
     assert int(i[:, 1].max(initial=0)) <= max_rows, (
         "treelet exceeds the rows bound — lower max_leaf or raise tre_rows")
     packed_i = i.reshape(-1, 128)
@@ -172,20 +279,6 @@ def pack_treelet_tables(nodes: dict, tris: dict = None, max_rows: int = None):
     n_chunks = -(-max_rows // CHUNK_GATE_ROWS)
     assert n_chunks * 8 <= 128, (
         "treelet rows bound too large for one chunk-gate row per treelet")
-    # per-TRI-ROW AABBs over the reordered triangle array (a row's union is
-    # exactly what the stream kernel tests for that row; zero-padding tris
-    # beyond nt are degenerate -> excluded)
-    nt = tris["v0"].shape[0]
-    rows_t = -(-nt // TRIS_PER_ROW)
-    vmin = np.minimum(np.minimum(tris["v0"], tris["v1"]), tris["v2"])
-    vmax = np.maximum(np.maximum(tris["v0"], tris["v1"]), tris["v2"])
-    pmin = np.full((rows_t * TRIS_PER_ROW, 3), np.inf, np.float32)
-    pmax = np.full((rows_t * TRIS_PER_ROW, 3), -np.inf, np.float32)
-    pmin[:nt] = vmin
-    pmax[:nt] = vmax
-    row_min = pmin.reshape(rows_t, TRIS_PER_ROW, 3).min(axis=1)
-    row_max = pmax.reshape(rows_t, TRIS_PER_ROW, 3).max(axis=1)
-
     t_pad = -(-max(T, 1) // 8) * 8
     chunk = np.zeros((t_pad, 128), np.float32)
     chunk[:, 0::8] = np.inf

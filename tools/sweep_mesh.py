@@ -78,6 +78,10 @@ def time_fn(f, o, *args, m=8):
 
     out = f(o, *args)
     jax.block_until_ready(out)
+    float(jnp.max(out[0]))      # scalar readback: block_until_ready alone
+    #                             has been observed to NOT wait once the
+    #                             transport enters its instant-resolve state;
+    #                             a host readback cannot lie
     dep = jnp.max(out[0]) * 0.0
     t0 = time.perf_counter()
     for k in range(m):
@@ -85,6 +89,7 @@ def time_fn(f, o, *args, m=8):
         out = f(Vec3(ox, o.y, o.z), *args)
         dep = jnp.max(out[0]) * 0.0
     jax.block_until_ready(out)
+    float(dep)                  # readback closes the timing window for real
     ms = (time.perf_counter() - t0) / m * 1e3
     if ms < 1.0:
         # the remote transport occasionally enters an instant-resolve state
