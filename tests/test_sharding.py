@@ -167,7 +167,10 @@ def test_shard_work_balance_interleaved(mesh):
     from pathtracer_tpu.parallel.sharding import shard_work_counts
     from pathtracer_tpu.scene.fixtures import scene_path
 
-    for name, bound in (("cornell", 1.05), ("open_test_scene", 1.06)):
+    # teapot: mesh scenes have the most skewed per-pixel bounce work — the
+    # mesh covers a small screen region — which is what the interleave is for
+    for name, bound in (("cornell", 1.05), ("open_test_scene", 1.06),
+                        ("teapot", 1.06)):
         scene, settings = load_scene(
             scene_path(name), overrides={"RES": [128, 128], "DEPTH": 8})
         w = shard_work_counts(scene, settings, mesh, iterations=4)
@@ -177,3 +180,45 @@ def test_shard_work_balance_interleaved(mesh):
         w0 = shard_work_counts(scene, settings, mesh, iterations=4,
                                interleave=False)
         assert ratio < w0.max() / w0.mean()
+
+
+@pytest.mark.slow
+def test_binned_intersect_sharded_bitexact(mesh):
+    """The production binned Pallas intersector — packed VMEM treelet tables,
+    trace-time scene-adaptive constants — under shard_map must return
+    bit-identical hits to the single-device call (scene/BVH replicated,
+    per-shard pools bin/sort independently, per-lane closest hits are exact
+    regardless of pool composition). Closes the multi-chip mesh coverage
+    hole: every other sharded test renders analytic scenes only."""
+    from jax.sharding import PartitionSpec as P
+
+    from pathtracer_tpu import load_scene
+    from pathtracer_tpu.engine.wavefront import generate_paths
+    from pathtracer_tpu.ops import rng as rng_mod
+    from pathtracer_tpu.ops.intersect import intersect_scene
+    from pathtracer_tpu.parallel.sharding import RAY_AXIS
+    from pathtracer_tpu.scene.fixtures import scene_path
+
+    scene, settings = load_scene(scene_path("teapot"),
+                                 overrides={"RES": [64, 64], "DEPTH": 2})
+    assert settings.bvh_impl == "binned"
+    irng = rng_mod.IterationRng(True, 0, jnp.int32(1),
+                                pixel_map=settings.pixel_map())
+    state = generate_paths(scene, settings, irng)
+    o, d = state.origin, state.direction
+
+    def run(scene, o, d):
+        return intersect_scene(scene, settings.geom_types, o, d,
+                               bvh_impl="binned")
+
+    t1, n1, m1 = jax.jit(run)(scene, o, d)
+
+    sharded = jax.jit(jax.shard_map(
+        run, mesh=mesh, in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS), check_vma=False))
+    t2, n2, m2 = sharded(scene, o, d)
+
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    for c1, c2 in zip(n1, n2):
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

@@ -154,6 +154,42 @@ def main():
                   f" ms", flush=True)
         return
 
+    if mode == "repart_engine":
+        # engine-level within-run A/B of the treelet partitions: times
+        # render_chunk frames for both table sets, interleaved A B A B to
+        # expose any order/transport drift
+        import time as _time
+
+        import pathtracer_tpu.scene.types as T
+        from pathtracer_tpu import load_scene
+        from pathtracer_tpu.engine.wavefront import render_chunk, zero_accum
+
+        def load(rep):
+            T.REPARTITION = rep
+            sc, st = load_scene(path)
+            T.REPARTITION = True
+            return sc, st
+
+        arms = {"leaf": load(False), "DP  ": load(True)}
+        chunk = 4
+
+        def frame_ms(sc, st, accum, it):
+            t0 = _time.perf_counter()
+            accum = render_chunk(sc, st, accum, jnp.int32(it), chunk,
+                                 0, True)
+            float(jnp.max(jax.tree.leaves(accum)[0]))   # honest readback
+            return (_time.perf_counter() - t0) / chunk * 1e3, accum
+
+        state = {k: (zero_accum(v[1]), 1) for k, v in arms.items()}
+        for rep in range(3):
+            for k, (sc, st) in arms.items():
+                acc, it = state[k]
+                ms, acc = frame_ms(sc, st, acc, it)
+                state[k] = (acc, it + chunk)
+                tag = "warm" if rep == 0 else "meas"
+                print(f"{k} engine ms/frame [{tag}]: {ms:8.1f}", flush=True)
+        return
+
     raise SystemExit(f"unknown mode {mode}")
 
 
