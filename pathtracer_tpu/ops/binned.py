@@ -200,6 +200,12 @@ FALLBACK_IMPL = "packet"  # "wide" = 8-wide per-packet-stack kernel
 #                         "packet" = the bit-exact round-2 packet-walk
 #                         finish. Default pending the TPU bench verdict.
 CAND_SORT = True
+CAND_KEY = "pid"    # initial-bin sort key. "pid" = liveness partition only
+#                     (candidates keep engine lane order). "octcell" =
+#                     direction octant (3 bits) + 12-bit origin morton cell:
+#                     spatially-coherent candidates cluster, so pass-1 blocks
+#                     agree on wants AND (lax.sort being stable) same-id
+#                     lanes stay coherence-ordered through every later bin.
 STREAM_OFF = False  # diagnostic: skip the stream kernel (WRONG results)
 CULL_CHEAP = False  # diagnostic: cull returns constant ids (WRONG results)
 FB_ROWS = 32        # packet-fallback block rows (teapot d4: 8->121.9,
@@ -694,15 +700,17 @@ def _seg_sort(chunk: int, key, *arrays):
     what an (8,128) kernel block reads — hold nearly the same ids: block
     coherence survives without any contiguity.
     """
-    if BIN_CONTIGUOUS:
-        c = min(65536, key.shape[0])
-        out = jax.lax.sort([key.reshape(-1, c)]
-                           + [a.reshape(-1, c) for a in arrays], num_keys=1)
+    with jax.named_scope("pt_mi_sort"):
+        if BIN_CONTIGUOUS:
+            c = min(65536, key.shape[0])
+            out = jax.lax.sort([key.reshape(-1, c)]
+                               + [a.reshape(-1, c) for a in arrays],
+                               num_keys=1)
+            return tuple(a.reshape(-1) for a in out)
+        out = jax.lax.sort([key.reshape(-1, 128)]
+                           + [a.reshape(-1, 128) for a in arrays],
+                           dimension=0, num_keys=1)
         return tuple(a.reshape(-1) for a in out)
-    out = jax.lax.sort([key.reshape(-1, 128)]
-                       + [a.reshape(-1, 128) for a in arrays],
-                       dimension=0, num_keys=1)
-    return tuple(a.reshape(-1) for a in out)
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -822,6 +830,11 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def cull_k(k, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live):
+        with jax.named_scope("pt_mi_cull"):
+            return _cull_k_impl(k, ox, oy, oz, dx, dy, dz, bound, pt0, pid,
+                                live)
+
+    def _cull_k_impl(k, ox, oy, oz, dx, dy, dz, bound, pt0, pid, live):
         r2 = lambda a: a.reshape(-1, 128)
         out = pl.pallas_call(
             functools.partial(_cull_kernel, k_wants=k),
@@ -845,6 +858,10 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     tre_rows = scene.treelet_rows.shape[0]   # static unroll bound
 
     def stream(ox, oy, oz, dx, dy, dz, bound, tid):
+        with jax.named_scope("pt_mi_stream"):
+            return _stream_impl(ox, oy, oz, dx, dy, dz, bound, tid)
+
+    def _stream_impl(ox, oy, oz, dx, dy, dz, bound, tid):
         s_rows = ox.shape[0] // 128          # pool may be K-fold expanded
         r2 = lambda a: a.reshape(-1, 128)
         n_out = 6 if MIN_SUPPORT > 1 else 5   # inc plane only when deferring
@@ -871,8 +888,49 @@ def mesh_intersect_binned(scene, mesh_roots, origin: Vec3, direction: Vec3,
     # is initialized AFTER this sort — it is all-constant here, so it does
     # not need to ride the permutation.
     if CAND_SORT:
-        (pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane) = _seg_sort(
-            chunk, pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane)
+        if CAND_KEY == "octcell":
+            # spatial-coherence key: direction octant (3 bits) over a
+            # 12-bit origin morton cell in the mesh-roots union box.
+            # Stability of lax.sort keeps same-id lanes coherence-ordered
+            # through every later bin sort, so rank-aligned stream rows
+            # keep agreeing on wants beyond pass 1. Per-lane results are
+            # order-independent (stream only ADDs exact candidate hits),
+            # so this is a pure locality knob — bit-exact either way.
+            mnx = mny = mnz = jnp.float32(jnp.inf)
+            mxx = mxy = mxz = jnp.float32(-jnp.inf)
+            for root in mesh_roots:
+                mnx = jnp.minimum(mnx, scene.bvh.min_x[root])
+                mny = jnp.minimum(mny, scene.bvh.min_y[root])
+                mnz = jnp.minimum(mnz, scene.bvh.min_z[root])
+                mxx = jnp.maximum(mxx, scene.bvh.max_x[root])
+                mxy = jnp.maximum(mxy, scene.bvh.max_y[root])
+                mxz = jnp.maximum(mxz, scene.bvh.max_z[root])
+
+            def q4(c, lo, hi):
+                u = jnp.clip((c - lo) / jnp.maximum(hi - lo, 1e-20),
+                             0.0, 0.999)
+                return (u * 16.0).astype(jnp.int32)
+
+            def spread3(v):          # bit i of a 4-bit value -> bit 3i
+                out = jnp.zeros_like(v)
+                for i in range(4):
+                    out = out | (((v >> i) & 1) << (3 * i))
+                return out
+
+            morton = (spread3(q4(ox, mnx, mxx))
+                      | (spread3(q4(oy, mny, mxy)) << 1)
+                      | (spread3(q4(oz, mnz, mxz)) << 2))
+            octant = ((dx > 0.0).astype(jnp.int32) * 4
+                      + (dy > 0.0).astype(jnp.int32) * 2
+                      + (dz > 0.0).astype(jnp.int32))
+            key = jnp.where(pid < TREELET_NONE,
+                            (octant << 12) | morton, TREELET_NONE)
+            (key, pid, ox, oy, oz, dx, dy, dz, bound, pt0,
+             lane) = _seg_sort(chunk, key, pid, ox, oy, oz, dx, dy, dz,
+                               bound, pt0, lane)
+        else:
+            (pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane) = _seg_sort(
+                chunk, pid, ox, oy, oz, dx, dy, dz, bound, pt0, lane)
 
     # best-so-far (follows the rays through every later permutation). With
     # STREAM_UV it is (t, u, v, tri) — one fewer sort operand than the
@@ -1107,27 +1165,28 @@ def _packet_fallback(scene, mesh_roots, origin, direction, active, bound,
     (ops/wide.py) — per-128-ray unions on the clustered residual are far
     smaller than the packet walk's 4096-ray block unions.
     """
-    if (fallback_impl or FALLBACK_IMPL) == "wide":
-        from .wide import mesh_intersect_wide
-        return mesh_intersect_wide(scene, origin, direction,
-                                   active=active, t_bound=bound,
-                                   interpret=interpret)
+    with jax.named_scope("pt_mi_fb"):
+        if (fallback_impl or FALLBACK_IMPL) == "wide":
+            from .wide import mesh_intersect_wide
+            return mesh_intersect_wide(scene, origin, direction,
+                                       active=active, t_bound=bound,
+                                       interpret=interpret)
 
-    from .bvh_pallas import mesh_intersect_packet
+        from .bvh_pallas import mesh_intersect_packet
 
-    n = origin.x.shape[0]
-    t_best = jnp.full((n,), FLT_MAX)
-    n_best = Vec3.zeros((n,))
-    m_best = jnp.full((n,), -1, jnp.int32)
-    any_hit = jnp.zeros((n,), bool)
-    for root in mesh_roots:
-        t, nrm, mat = mesh_intersect_packet(
-            scene, root, origin, direction, active=active,
-            t_bound=jnp.minimum(bound, t_best), interpret=interpret,
-            block_rows=FB_ROWS)
-        upd = jnp.logical_and(t > 0.0, t < t_best)
-        t_best = jnp.where(upd, t, t_best)
-        n_best = Vec3.where(upd, nrm, n_best)
-        m_best = jnp.where(upd, mat, m_best)
-        any_hit = jnp.logical_or(any_hit, upd)
-    return (jnp.where(any_hit, t_best, -1.0), n_best, m_best)
+        n = origin.x.shape[0]
+        t_best = jnp.full((n,), FLT_MAX)
+        n_best = Vec3.zeros((n,))
+        m_best = jnp.full((n,), -1, jnp.int32)
+        any_hit = jnp.zeros((n,), bool)
+        for root in mesh_roots:
+            t, nrm, mat = mesh_intersect_packet(
+                scene, root, origin, direction, active=active,
+                t_bound=jnp.minimum(bound, t_best), interpret=interpret,
+                block_rows=FB_ROWS)
+            upd = jnp.logical_and(t > 0.0, t < t_best)
+            t_best = jnp.where(upd, t, t_best)
+            n_best = Vec3.where(upd, nrm, n_best)
+            m_best = jnp.where(upd, mat, m_best)
+            any_hit = jnp.logical_or(any_hit, upd)
+        return (jnp.where(any_hit, t_best, -1.0), n_best, m_best)

@@ -135,6 +135,42 @@ def test_albedo_fit_converges(cornell_small, mesh):
     assert err < err0 * 0.7, f"albedo error {err0:.4f} -> {err:.4f}"
 
 
+@pytest.mark.slow
+def test_albedo_fit_converges_mesh_scene(mesh):
+    """BASELINE config 5 regression guard: the differentiable albedo fit on
+    a MESH scene — gradients through the full bounce loop with the
+    production binned Pallas intersector in the forward pass (hit geometry
+    under stop_gradient, exact for material parameters) — must converge,
+    not just run. Committed full-scale curve: FIT_alien.md."""
+    from pathtracer_tpu import load_scene
+    from pathtracer_tpu.scene.fixtures import scene_path
+
+    scene, settings = load_scene(scene_path("teapot"),
+                                 overrides={"RES": [32, 32], "DEPTH": 2})
+    assert settings.bvh_impl == "binned"
+    scene_r = replicate(scene, mesh)
+    accum = shard_accum(zero_accum(settings), mesh)
+    target = render_chunk_sharded(scene_r, settings, mesh, accum,
+                                  jnp.int32(1), 1, 0, False)
+    true_albedo = np.asarray(scene.materials.color)
+
+    rng = np.random.default_rng(3)
+    wrong = np.clip(true_albedo + rng.uniform(-0.2, 0.2, true_albedo.shape),
+                    0.05, 0.95)
+    s = scene_r._replace(materials=scene_r.materials._replace(
+        color=jnp.asarray(wrong, np.float32)))
+    err0 = np.abs(wrong - true_albedo).mean()
+
+    losses = []
+    for _ in range(8):
+        s, loss = albedo_fit_step(s, settings, mesh, target,
+                                  jnp.int32(1), lr=1.0, seed=0)
+        losses.append(float(loss))
+    err = np.abs(np.asarray(s.materials.color) - true_albedo).mean()
+    assert losses[-1] < losses[0] * 0.5, f"loss did not halve: {losses}"
+    assert err < err0 * 0.75, f"albedo error {err0:.4f} -> {err:.4f}"
+
+
 def test_interleaved_pixel_map_is_bijection(cornell_small):
     """The composed shard-interleave pixel map must be a bijection over the
     pool (lanes_to_image inverts it by scatter; RNG keys stay unique)."""

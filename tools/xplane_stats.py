@@ -36,7 +36,11 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGES = ("pt_raygen", "pt_intersect", "pt_shade", "pt_gather")
+# Sub-stages of the binned mesh intersector (ops/binned.py named scopes)
+# come FIRST: attribution charges an event to the first marker found, and
+# their op_name paths also contain the enclosing pt_intersect.
+STAGES = ("pt_mi_sort", "pt_mi_cull", "pt_mi_stream", "pt_mi_fb",
+          "pt_raygen", "pt_intersect", "pt_shade", "pt_gather")
 
 
 def _load_xplane(pb_path: str):
